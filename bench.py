@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: frame-to-boxes latency, 640x640 batch-1.
+
+Measures the full fused serving path — ImageNet-normalise preprocess +
+UNINA-YOLO-DLA forward (bf16, base_channels=32) + 3-level decode +
+class-aware greedy NMS (K=1024) — as ONE jitted XLA program on the TPU.
+Baseline to beat: the reference's <15 ms design target on Jetson Orin DLA
+(BASELINE.md); vs_baseline = baseline_ms / p99_ms (>1 is better).
+
+Methodology: the TPU here sits behind a network relay whose host<->device
+round-trip (~30 ms, high variance) would swamp the measurement, so the
+pipeline is iterated inside a single jitted ``lax.fori_loop`` (input varied
+per iteration to defeat CSE) and per-frame latency is the DIFFERENCE
+quotient between two loop lengths — fixed dispatch/fetch overhead cancels
+exactly. p99 is taken over repeated measurements.
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from unina_yolo_dla_tpu.models import ModelConfig, init_model
+from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
+
+BASELINE_MS = 15.0
+N_SMALL, N_LARGE = 25, 125
+REPEATS = 12
+
+
+def make_loop(serve, n: int):
+    @jax.jit
+    def loop(variables, frame):
+        def body(i, acc):
+            f = frame ^ (i % 7).astype(jnp.uint8)  # defeat CSE across iters
+            d = serve(variables, f)
+            return acc + d.scores.sum() + d.valid.sum()
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+    return loop
+
+
+def main() -> None:
+    cfg = ModelConfig(num_classes=4, base_channels=32, input_size=640)
+    model, variables = init_model(jax.random.key(0), cfg)
+    serve = build_serving_fn(model, cfg)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (640, 640, 3), dtype=np.uint8))
+
+    loop_s = make_loop(serve, N_SMALL)
+    loop_l = make_loop(serve, N_LARGE)
+    # compile + warmup (fetch forces full execution through the relay)
+    float(loop_s(variables, frame))
+    float(loop_l(variables, frame))
+
+    per_frame = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(loop_s(variables, frame))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop_l(variables, frame))
+        t_large = time.perf_counter() - t0
+        per_frame.append((t_large - t_small) * 1e3 / (N_LARGE - N_SMALL))
+
+    per_frame = np.array(per_frame)
+    p50 = float(np.percentile(per_frame, 50))
+    p99 = float(np.percentile(per_frame, 99))
+    print(json.dumps({
+        "metric": "frame_to_boxes_p99_latency",
+        "value": round(p99, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / p99, 3),
+        "extra": {"p50_ms": round(p50, 3), "repeats": REPEATS,
+                  "baseline_ms": BASELINE_MS, "batch": 1, "input": 640,
+                  "pipeline": "preprocess+forward_bf16+decode+greedy_nms",
+                  "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    main()

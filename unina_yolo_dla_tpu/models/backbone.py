@@ -1,0 +1,50 @@
+"""CSP-Darknet backbone emitting P2 (s4), P3 (s8), P4 (s16) + SPPF(P4).
+
+Parity with ``/root/reference/unina_yolo_dla/model.py:152-219``: no P5 stage
+(stride 32 is too coarse for 10-15 px cones), ``lite_p2`` swaps the P2 C3k2
+for a plain conv (the reference's DLA-CBUF escape hatch; on TPU it trims the
+160x160 stage's VMEM/HBM traffic), widths ``base_channels * {1,2,4,8,16}``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import C3k2, ConvBlock, SPPF
+from .config import ModelConfig
+
+
+class Backbone(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        cfg = self.config
+        c1, c2, c3, c4, _c5 = cfg.widths
+        kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
+                                  param_dtype=cfg.param_dtype)
+
+        # Stem: (B,640,640,3) -> (B,320,320,c1)
+        x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)
+
+        # Stage 1 -> P2 (stride 4, 160x160)
+        x = ConvBlock(c2, 3, strides=2, name="stage1_conv", **kw)(x, train)
+        if cfg.lite_p2:
+            p2 = ConvBlock(c2, 3, name="stage1_block", **kw)(x, train)
+        else:
+            p2 = C3k2(c2, n=1, name="stage1_block", **kw)(x, train)
+
+        # Stage 2 -> P3 (stride 8, 80x80)
+        x = ConvBlock(c3, 3, strides=2, name="stage2_conv", **kw)(p2, train)
+        p3 = C3k2(c3, n=2, name="stage2_c3k2", **kw)(x, train)
+
+        # Stage 3 -> P4 (stride 16, 40x40)
+        x = ConvBlock(c4, 3, strides=2, name="stage3_conv", **kw)(p3, train)
+        p4 = C3k2(c4, n=2, name="stage3_c3k2", **kw)(x, train)
+
+        # SPPF context on top of P4 (reference model.py:200-201)
+        p4_sppf = SPPF(c4, name="sppf", **kw)(p4, train)
+
+        return p2, p3, p4, p4_sppf

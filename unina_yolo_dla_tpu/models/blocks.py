@@ -1,0 +1,142 @@
+"""Core building blocks: ConvBlock, Bottleneck, C3k2, SPPF, nearest Upsample.
+
+Behavioural parity with the reference blocks
+(``/root/reference/unina_yolo_dla/model.py:23-147``) but written TPU-first:
+
+- NHWC layout (TPU conv-native; NCHW forces transposes on TPU).
+- ReLU-only activations (the reference's DLA constraint happens to also be
+  the cheapest VPU activation — kept for weight-compat and parity).
+- bfloat16 compute / float32 params & batch-norm statistics.
+- Convs carry no bias (BatchNorm folds it), matching the reference.
+
+Every block is a plain ``flax.linen.Module``; XLA fuses BN+ReLU into the
+conv epilogue on TPU, so there is no hand-fused conv kernel here — the MXU
+path is already optimal through lax.conv_general_dilated.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBlock(nn.Module):
+    """Conv(no-bias) + BatchNorm + ReLU (reference model.py:23-50)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=self.kernel_size // 2,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,   # torch BatchNorm2d default (momentum=0.1) equivalent
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 with optional residual (reference model.py:53-73)."""
+
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.features * self.expansion)
+        out = ConvBlock(hidden, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="cv1")(x, train)
+        out = ConvBlock(self.features, 3, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="cv2")(out, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            out = x + out
+        return out
+
+
+class C3k2(nn.Module):
+    """Cross-Stage-Partial block, split-process-concat form.
+
+    Two 1x1 projections to ``features//2``; one path runs ``n`` bottlenecks
+    (expansion 1.0), concat, 1x1 out conv (reference model.py:76-110).
+    """
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.features * self.expansion)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        path1 = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
+        for i in range(self.n):
+            path1 = Bottleneck(hidden, self.shortcut, expansion=1.0,
+                               name=f"bottleneck_{i}", **kw)(path1, train)
+        path2 = ConvBlock(hidden, 1, name="cv2", **kw)(x, train)
+        merged = jnp.concatenate([path1, path2], axis=-1)
+        return ConvBlock(self.features, 1, name="cv3", **kw)(merged, train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): three chained 5x5 stride-1 maxpools
+    (reference model.py:113-132, SPPF_DLA)."""
+
+    features: int
+    pool_size: int = 5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        hidden = in_ch // 2
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
+        k = self.pool_size
+        pad = k // 2
+        pool = lambda t: nn.max_pool(  # noqa: E731
+            t, window_shape=(k, k), strides=(1, 1),
+            padding=((pad, pad), (pad, pad)))
+        y1 = pool(x)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        merged = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return ConvBlock(self.features, 1, name="cv2", **kw)(merged, train)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample (reference model.py:135-147).
+
+    Implemented as reshape+broadcast — XLA lowers this to a cheap layout op,
+    unlike generic ``jax.image.resize`` which builds a gather.
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)

@@ -1,0 +1,74 @@
+"""Model configuration.
+
+Mirrors the constructor surface of the reference model
+(``/root/reference/unina_yolo_dla/model.py:308-345``): ``num_classes``,
+``base_channels`` (32 standard / 16 lite), ``lite_p2``. Adds TPU-specific
+knobs: compute dtype (bfloat16 feeds the MXU at full rate) and input size.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture + numerics configuration.
+
+    Attributes:
+        num_classes: number of object classes (4 cone classes by default).
+        base_channels: base channel width; widths are
+            ``base_channels * {1, 2, 4, 8, 16}`` (reference model.py:172-176).
+        lite_p2: if True the P2 stage uses a plain conv instead of C3k2
+            (reference model.py:184-190; the DLA-CBUF analogue on TPU is
+            VMEM footprint of the 160x160 stage).
+        input_size: static square input resolution (640, batch-1 serving).
+        compute_dtype: activation dtype inside the network. bfloat16 by
+            default — MXU-native on TPU. Params stay float32.
+        num_anchors: anchors per cell (always 1: anchor-free head).
+    """
+
+    num_classes: int = 4
+    base_channels: int = 32
+    lite_p2: bool = False
+    input_size: int = 640
+    compute_dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    num_anchors: int = 1
+
+    @property
+    def widths(self) -> tuple[int, int, int, int, int]:
+        bc = self.base_channels
+        return (bc, bc * 2, bc * 4, bc * 8, bc * 16)
+
+    @property
+    def strides(self) -> tuple[int, int, int]:
+        """Feature strides of the P2/P3/P4 heads."""
+        return (4, 8, 16)
+
+    @property
+    def grid_sizes(self) -> tuple[int, int, int]:
+        s = self.input_size
+        return (s // 4, s // 8, s // 16)
+
+    @property
+    def num_cells(self) -> int:
+        """Total decode workload per frame (33,600 cells at 640)."""
+        return sum(g * g for g in self.grid_sizes)
+
+
+# Cone classes of the FSD dataset (reference fsd_data.yaml:13-17).
+DEFAULT_CLASS_NAMES = ("yellow_cone", "blue_cone", "orange_cone", "large_orange_cone")
+
+# Serving defaults (reference config/params.yaml:14-15, train.py:996).
+DEFAULT_CONF_THRESHOLD = 0.5
+DEFAULT_IOU_THRESHOLD = 0.45
+DEFAULT_CP_Q = 0.1
+MAX_DETECTIONS = 1024  # static cap (reference gpu_postprocess.cu:25)
+
+# ImageNet normalisation pinned across train/export/serve
+# (reference cuda_preprocess.cu:68-85, export_trt.py:129-131).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)

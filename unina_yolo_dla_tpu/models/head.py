@@ -1,0 +1,49 @@
+"""Decoupled anchor-free detection head, one per feature level.
+
+Parity with ``/root/reference/unina_yolo_dla/model.py:274-303``: cls branch =
+2x ConvBlock(3x3) + 1x1 conv -> ``num_classes``; reg branch = 2x ConvBlock +
+1x1 conv -> 4 TLBR channels. ``num_anchors`` fixed at 1.
+
+The final 1x1 convs carry a bias (torch Conv2d default) and emit raw logits;
+the cls bias is initialised to a negative prior so the sigmoid starts near
+p=0.01, which stabilises early training of the focal/BCE loss.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import ConvBlock
+from .config import ModelConfig
+
+# sigmoid(CLS_BIAS_INIT) ~= 0.01 prior
+CLS_BIAS_INIT = -math.log((1 - 0.01) / 0.01)
+
+
+class DetectionHead(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        cfg = self.config
+        hidden = x.shape[-1]
+        kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
+                                  param_dtype=cfg.param_dtype)
+
+        cls = ConvBlock(hidden, 3, name="cls_conv1", **kw)(x, train)
+        cls = ConvBlock(hidden, 3, name="cls_conv2", **kw)(cls, train)
+        cls = nn.Conv(
+            cfg.num_classes * cfg.num_anchors, (1, 1), use_bias=True,
+            bias_init=nn.initializers.constant(CLS_BIAS_INIT),
+            name="cls_pred", **kw)(cls)
+
+        reg = ConvBlock(hidden, 3, name="reg_conv1", **kw)(x, train)
+        reg = ConvBlock(hidden, 3, name="reg_conv2", **kw)(reg, train)
+        reg = nn.Conv(4 * cfg.num_anchors, (1, 1), use_bias=True,
+                      name="reg_pred", **kw)(reg)
+
+        # Logits in float32 for numerically stable loss/decode.
+        return cls.astype(jnp.float32), reg.astype(jnp.float32)

@@ -1,0 +1,49 @@
+"""FPN top-down + PAN bottom-up neck over P2/P3/P4.
+
+Parity with ``/root/reference/unina_yolo_dla/model.py:224-269``: lateral 1x1
+convs, nearest 2x upsample, concat fusion, strided-conv downsampling.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import C3k2, ConvBlock, upsample_nearest_2x
+from .config import ModelConfig
+
+
+class Neck(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, features, train: bool = False):
+        cfg = self.config
+        _c1, c2, c3, c4, _c5 = cfg.widths
+        kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
+                                  param_dtype=cfg.param_dtype)
+
+        p2_in, p3_in, p4_in, p4_sppf = features
+
+        # --- Top-down (FPN) ---
+        p4_lat = ConvBlock(c3, 1, name="lateral_p3", **kw)(p4_sppf, train)
+        p4_up = upsample_nearest_2x(p4_lat)  # 40 -> 80
+        p3_fused = C3k2(c3, n=1, name="fpn_c3k2_1", **kw)(
+            jnp.concatenate([p4_up, p3_in], axis=-1), train)
+
+        p3_lat = ConvBlock(c2, 1, name="lateral_p2", **kw)(p3_fused, train)
+        p3_up = upsample_nearest_2x(p3_lat)  # 80 -> 160
+        p2_fused = C3k2(c2, n=1, name="fpn_c3k2_2", **kw)(
+            jnp.concatenate([p3_up, p2_in], axis=-1), train)
+
+        # --- Bottom-up (PAN) ---
+        p2_down = ConvBlock(c2, 3, strides=2, name="down1", **kw)(p2_fused, train)
+        p3_out = C3k2(c3, n=1, name="pan_c3k2_1", **kw)(
+            jnp.concatenate([p2_down, p3_fused], axis=-1), train)
+
+        p3_down = ConvBlock(c3, 3, strides=2, name="down2", **kw)(p3_out, train)
+        p4_out = C3k2(c4, n=1, name="pan_c3k2_2", **kw)(
+            jnp.concatenate([p3_down, p4_in], axis=-1), train)
+
+        return p2_fused, p3_out, p4_out

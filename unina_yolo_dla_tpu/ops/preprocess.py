@@ -1,0 +1,130 @@
+"""Image preprocessing — pure-jnp reference oracle.
+
+Numerical parity with the reference's fused CUDA kernels
+(``/root/reference/.../src/cuda_preprocess.cu``):
+
+- bilinear resize with half-pixel centers, clamped:
+  ``src = (dst + 0.5) * scale - 0.5`` (cuda_preprocess.cu:158-168)
+- BGRA/BGR -> RGB channel reorder
+- ImageNet normalisation ``(px/255 - mean)/std`` (cuda_preprocess.cu:68-85)
+- NV12 (YUV420sp) -> RGB via BT.601 (cuda_preprocess.cu:212-253)
+
+TPU-first differences: output is NHWC float (channels-last feeds TPU convs
+directly; the CUDA version emits CHW for TensorRT), and the whole thing is a
+jittable function that fuses into the inference graph — the frame never
+round-trips through host memory. A Pallas fused kernel lives in
+``ops/pallas/preprocess_kernel.py``; this module is its oracle.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import IMAGENET_MEAN, IMAGENET_STD
+
+
+def normalize(rgb01: jnp.ndarray,
+              mean: Sequence[float] = IMAGENET_MEAN,
+              std: Sequence[float] = IMAGENET_STD) -> jnp.ndarray:
+    """(..., 3) RGB in [0,1] -> ImageNet-normalised float32."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (rgb01.astype(jnp.float32) - mean) / std
+
+
+def _bilinear_coords(dst: int, src: int):
+    """Half-pixel source coordinates + weights for one axis."""
+    scale = src / dst
+    coords = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * scale - 0.5
+    coords = jnp.clip(coords, 0.0, src - 1.0)
+    i0 = jnp.floor(coords).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, src - 1)
+    frac = coords - i0.astype(jnp.float32)
+    return i0, i1, frac
+
+
+def resize_bilinear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """(H, W, C) -> (dst_h, dst_w, C) bilinear, CUDA-kernel coordinate math."""
+    src_h, src_w = img.shape[0], img.shape[1]
+    img = img.astype(jnp.float32)
+    y0, y1, fy = _bilinear_coords(dst_h, src_h)
+    x0, x1, fx = _bilinear_coords(dst_w, src_w)
+
+    # Separable gather: rows then columns.
+    top = img[y0]                        # (dst_h, W, C)
+    bot = img[y1]
+    rows = top + (bot - top) * fy[:, None, None]
+    left = rows[:, x0]                   # (dst_h, dst_w, C)
+    right = rows[:, x1]
+    return left + (right - left) * fx[None, :, None]
+
+
+def preprocess_rgb(
+    img_uint8: jnp.ndarray,
+    out_size: int = 640,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+) -> jnp.ndarray:
+    """(H, W, 3) RGB uint8 -> (out, out, 3) normalised float32 (NHWC w/o batch)."""
+    resized = resize_bilinear(img_uint8, out_size, out_size)
+    return normalize(resized / 255.0, mean, std)
+
+
+def preprocess_bgra(
+    img_uint8: jnp.ndarray,
+    out_size: int = 640,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+) -> jnp.ndarray:
+    """(H, W, 4) BGRA uint8 -> (out, out, 3) normalised float32.
+
+    Channel reorder happens BEFORE the resize, matching the CUDA kernel's
+    per-sample BGR->RGB reorder (interpolation is linear so order commutes).
+    """
+    rgb = img_uint8[..., 2::-1]  # B,G,R,A -> R,G,B
+    return preprocess_rgb(rgb, out_size, mean, std)
+
+
+def nv12_to_rgb(y_plane: jnp.ndarray, uv_plane: jnp.ndarray) -> jnp.ndarray:
+    """NV12 -> RGB uint8-range float, BT.601 (cuda_preprocess.cu:212-253).
+
+    ``y_plane``: (H, W) uint8; ``uv_plane``: (H//2, W//2, 2) interleaved U,V.
+    """
+    y = y_plane.astype(jnp.float32)
+    uv = uv_plane.astype(jnp.float32)
+    # Upsample chroma 2x nearest
+    u = jnp.repeat(jnp.repeat(uv[..., 0], 2, axis=0), 2, axis=1) - 128.0
+    v = jnp.repeat(jnp.repeat(uv[..., 1], 2, axis=0), 2, axis=1) - 128.0
+    u = u[: y.shape[0], : y.shape[1]]
+    v = v[: y.shape[0], : y.shape[1]]
+    c = y - 16.0
+    r = 1.164 * c + 1.596 * v
+    g = 1.164 * c - 0.392 * u - 0.813 * v
+    b = 1.164 * c + 2.017 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def letterbox(
+    img: jnp.ndarray,
+    out_size: int = 640,
+    pad_value: float = 114.0,
+) -> tuple[jnp.ndarray, float, tuple[int, int]]:
+    """Aspect-preserving resize + center pad (training-time letterbox,
+    parity with the Ultralytics LetterBox used by mine_data.py:48-86).
+
+    Returns (letterboxed (out,out,C) float32, scale, (pad_x, pad_y)).
+    Static output shape; scale/pads are Python floats for label transforms
+    (host-side, trace-free).
+    """
+    src_h, src_w = int(img.shape[0]), int(img.shape[1])
+    scale = min(out_size / src_h, out_size / src_w)
+    new_h, new_w = round(src_h * scale), round(src_w * scale)
+    resized = resize_bilinear(img, new_h, new_w)
+    pad_y = (out_size - new_h) // 2
+    pad_x = (out_size - new_w) // 2
+    canvas = jnp.full((out_size, out_size, img.shape[-1]), pad_value,
+                      jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (pad_y, pad_x, 0))
+    return canvas, scale, (pad_x, pad_y)
