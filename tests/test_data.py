@@ -1,0 +1,113 @@
+"""Synthetic generator + dataset/batch pipeline tests (the dry-run data
+path, parity with run_local_debug.sh's synthetic-then-train flow)."""
+import numpy as np
+import pytest
+
+from unina_yolo_dla_tpu.data import (
+    SynthConfig,
+    YoloDataset,
+    batch_iterator,
+    generate_dataset,
+    generate_image,
+    load_dataset_yaml,
+    load_difficulty_weights,
+    mosaic4,
+    validate_labels,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    cfg = SynthConfig(image_size=160, seed=7)
+    yaml_path = generate_dataset(root, num_train=6, num_val=2, cfg=cfg)
+    return root, yaml_path
+
+
+def test_generate_image_deterministic():
+    cfg = SynthConfig(image_size=128, seed=3)
+    img1, l1 = generate_image(np.random.default_rng(3), cfg)
+    img2, l2 = generate_image(np.random.default_rng(3), cfg)
+    assert np.array_equal(img1, img2) and l1 == l2
+    assert img1.shape == (128, 128, 3)
+    assert validate_labels(l1)
+
+
+def test_generated_boxes_nonoverlapping():
+    cfg = SynthConfig(image_size=256, seed=11)
+    _, labels = generate_image(np.random.default_rng(11), cfg)
+    boxes = np.array([[c[1] - c[3] / 2, c[2] - c[4] / 2,
+                       c[1] + c[3] / 2, c[2] + c[4] / 2] for c in labels])
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            iw = min(boxes[i, 2], boxes[j, 2]) - max(boxes[i, 0], boxes[j, 0])
+            ih = min(boxes[i, 3], boxes[j, 3]) - max(boxes[i, 1], boxes[j, 1])
+            assert iw <= 1e-9 or ih <= 1e-9
+
+
+def test_dataset_yaml_contract(synth_root):
+    root, yaml_path = synth_root
+    spec = load_dataset_yaml(yaml_path)
+    assert spec["nc"] == 4
+    assert spec["names"][0] == "yellow_cone"
+    assert spec["train"].exists() and spec["val"].exists()
+
+
+def test_dataset_loading_and_letterbox(synth_root):
+    root, yaml_path = synth_root
+    spec = load_dataset_yaml(yaml_path)
+    ds = YoloDataset(spec["train"], img_size=96, max_boxes=32)
+    assert len(ds) == 6
+    img, boxes, classes = ds.load_letterboxed(0)
+    assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+    assert boxes.shape[1] == 4 and len(boxes) == len(classes)
+    assert (boxes[:, 2] > boxes[:, 0]).all()
+    assert (boxes >= 0).all() and (boxes <= 96).all()
+
+
+def test_batch_iterator_shapes(synth_root):
+    root, yaml_path = synth_root
+    spec = load_dataset_yaml(yaml_path)
+    ds = YoloDataset(spec["train"], img_size=96, max_boxes=16)
+    batches = list(batch_iterator(ds, batch_size=4,
+                                  rng=np.random.default_rng(0), steps=2))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (4, 96, 96, 3)
+    assert b["images"].dtype == np.float32
+    assert b["boxes"].shape == (4, 16, 4)
+    assert b["labels"].shape == (4, 16)
+    assert b["mask"].dtype == bool
+    assert b["mask"].any()
+    # ImageNet normalisation: gray 114 -> ~(-0.2..0.1) range, never 0..255
+    assert abs(b["images"]).max() < 4.0
+
+
+def test_weighted_sampling_prefers_difficult(synth_root):
+    root, yaml_path = synth_root
+    spec = load_dataset_yaml(yaml_path)
+    ds = YoloDataset(spec["train"], img_size=96, max_boxes=16)
+    dmap = {ds.image_paths[0].stem: 100.0}
+    w = load_difficulty_weights(ds, dmap)
+    assert w[0] == 100.0 and np.all(w[1:] == 1.0)
+    # floor at 0.1
+    w2 = load_difficulty_weights(ds, {ds.image_paths[1].stem: 0.0})
+    assert w2[1] == 0.1
+    rng = np.random.default_rng(0)
+    counts = np.zeros(len(ds))
+    for _ in range(200):
+        idx = rng.choice(len(ds), p=w / w.sum())
+        counts[idx] += 1
+    assert counts[0] > 150  # heavily preferred
+
+
+def test_mosaic4_merges_labels(synth_root):
+    root, yaml_path = synth_root
+    spec = load_dataset_yaml(yaml_path)
+    ds = YoloDataset(spec["train"], img_size=96, max_boxes=16)
+    rng = np.random.default_rng(0)
+    samples = [ds.load_letterboxed(i) for i in range(4)]
+    img, boxes, classes = mosaic4(rng, samples, 96)
+    assert img.shape == (96, 96, 3)
+    assert len(boxes) == len(classes)
+    assert (boxes >= 0).all() and (boxes <= 96).all()

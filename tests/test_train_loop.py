@@ -1,0 +1,123 @@
+"""End-to-end training smoke tests: the CPU-backend dry run (replaces
+run_local_debug.sh) and the 8-device data-parallel step (replaces the
+reference's untested DDP path with an actual simulated-mesh test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unina_yolo_dla_tpu.data import SynthConfig, YoloDataset, batch_iterator, generate_dataset, load_dataset_yaml
+from unina_yolo_dla_tpu.models import ModelConfig, init_model
+from unina_yolo_dla_tpu.parallel import create_mesh, make_parallel_train_step, shard_batch
+from unina_yolo_dla_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_synth")
+    yaml_path = generate_dataset(
+        root, num_train=8, num_val=2,
+        cfg=SynthConfig(image_size=IMG, seed=5, min_height=6, max_height=24,
+                        min_cones=2, max_cones=5))
+    spec = load_dataset_yaml(yaml_path)
+    ds = YoloDataset(spec["train"], img_size=IMG, max_boxes=16)
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg, batch_size=2)
+    return ds, cfg, model, variables
+
+
+def test_train_step_reduces_loss(tiny_setup):
+    ds, cfg, model, variables = tiny_setup
+    tc = TrainConfig(lr0=0.02, warmup_steps=1, total_steps=30, use_ema=True,
+                     optimizer="sgd")
+    tx = make_optimizer(tc)
+    state = create_train_state(variables, tx, tc)
+    step = jax.jit(make_train_step(model, cfg, tx, tc))
+
+    rng = np.random.default_rng(0)
+    batch = next(batch_iterator(ds, batch_size=4, rng=rng, steps=1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    first = None
+    for i in range(25):
+        state, aux = step(state, batch)
+        if first is None:
+            first = float(aux["loss"])
+    last = float(aux["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.8, f"loss did not decrease: {first} -> {last}"
+    assert int(state.step) == 25
+
+
+def test_ema_params_track_params(tiny_setup):
+    ds, cfg, model, variables = tiny_setup
+    tc = TrainConfig(lr0=0.01, warmup_steps=1, total_steps=10,
+                     ema_decay=0.5, use_ema=True)
+    tx = make_optimizer(tc)
+    state = create_train_state(variables, tx, tc)
+    step = jax.jit(make_train_step(model, cfg, tx, tc))
+    rng = np.random.default_rng(1)
+    batch = next(batch_iterator(ds, batch_size=2, rng=rng, steps=1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state2, _ = step(state, batch)
+    # EMA moved away from init towards new params but is not equal to them
+    p0 = jax.tree.leaves(state.params)[0]
+    p2 = jax.tree.leaves(state2.params)[0]
+    e2 = jax.tree.leaves(state2.ema_params)[0]
+    assert not jnp.allclose(p0, p2)
+    assert not jnp.allclose(e2, p2)
+
+
+def test_data_parallel_step_8_devices(tiny_setup):
+    ds, cfg, model, variables = tiny_setup
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    mesh = create_mesh(8)
+    tc = TrainConfig(lr0=0.01, warmup_steps=1, total_steps=10, use_ema=False)
+    tx = make_optimizer(tc)
+    state = create_train_state(variables, tx, tc)
+    step = make_train_step(model, cfg, tx, tc)
+    pstep = make_parallel_train_step(step, mesh)
+
+    rng = np.random.default_rng(2)
+    batch = next(batch_iterator(ds, batch_size=8, rng=rng, steps=1))
+    batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    state2, aux = pstep(state, batch)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_dp_matches_single_device(tiny_setup):
+    """Gradient all-reduce over the mesh must give the same update as a
+    single-device step on the same global batch (up to float tolerance)."""
+    ds, cfg, model, variables = tiny_setup
+    tc = TrainConfig(lr0=0.01, warmup_steps=1, total_steps=10, use_ema=False)
+    tx = make_optimizer(tc)
+    step = make_train_step(model, cfg, tx, tc)
+
+    rng = np.random.default_rng(3)
+    batch = next(batch_iterator(ds, batch_size=8, rng=rng, steps=1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    s_single = create_train_state(variables, tx, tc)
+    s_single, aux1 = jax.jit(step)(s_single, batch)
+
+    mesh = create_mesh(8)
+    s_dp = create_train_state(variables, tx, tc)
+    pstep = make_parallel_train_step(step, mesh)
+    s_dp, aux2 = pstep(s_dp, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_single.params),
+                    jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)

@@ -1,0 +1,210 @@
+"""YOLO-format dataset + host-side batch pipeline.
+
+Replaces the reference's torch Dataset/DataLoader stack
+(``data_loader.py:42-228``) with a numpy pipeline that feeds JAX:
+
+- ``YoloDataset``: images/ + labels/ twin trees of a dataset YAML
+  (fsd_data.yaml contract: path / train / val keys, names, nc).
+- letterbox to the static input size with label transform.
+- difficulty-weighted sampling (``ActiveLearningDataset`` +
+  ``WeightedRandomSampler(replacement=True)`` semantics,
+  data_loader.py:152-228: min weight 0.1, missing images default 1.0).
+- fixed ``max_boxes`` padding -> static shapes for jit.
+
+Batches are dicts of numpy arrays: images (B,S,S,3) float32 ImageNet-
+normalised NHWC, boxes (B,G,4) xyxy px, labels (B,G) int32, mask (B,G).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from ..models.config import IMAGENET_MEAN, IMAGENET_STD
+
+
+def load_dataset_yaml(yaml_path: str | Path) -> dict:
+    import yaml
+
+    with open(yaml_path) as f:
+        spec = yaml.safe_load(f)
+    root = Path(spec.get("path", Path(yaml_path).parent))
+    return {
+        "root": root,
+        "train": root / spec.get("train", "images/train"),
+        "val": root / spec.get("val", "images/val"),
+        "names": spec.get("names", {}),
+        "nc": spec.get("nc", len(spec.get("names", {}))),
+    }
+
+
+def _label_path(img_path: Path) -> Path:
+    """images/<split>/x.jpg -> labels/<split>/x.txt (YOLO convention)."""
+    parts = list(img_path.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return Path(*parts).with_suffix(".txt")
+
+
+class YoloDataset:
+    """Image + YOLO-txt label pairs with letterbox preprocessing."""
+
+    IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+    def __init__(
+        self,
+        image_dir: str | Path,
+        img_size: int = 640,
+        max_boxes: int = 100,
+        class_offset: int = 0,
+    ) -> None:
+        self.image_dir = Path(image_dir)
+        self.img_size = img_size
+        self.max_boxes = max_boxes
+        self.class_offset = class_offset
+        self.image_paths = sorted(
+            p for p in self.image_dir.rglob("*")
+            if p.suffix.lower() in self.IMG_EXTS)
+        if not self.image_paths:
+            raise FileNotFoundError(f"no images under {self.image_dir}")
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def load_raw(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (RGB uint8 HWC, labels (N, 5) [cls, cx, cy, w, h] norm)."""
+        import cv2
+
+        path = self.image_paths[idx]
+        img = cv2.imread(str(path))
+        if img is None:
+            raise IOError(f"failed to read {path}")
+        img = img[..., ::-1]  # BGR -> RGB
+
+        lp = _label_path(path)
+        labels = []
+        if lp.exists():
+            for line in lp.read_text().splitlines():
+                parts = line.split()
+                if len(parts) == 5:
+                    labels.append([float(v) for v in parts])
+        labels = (np.asarray(labels, np.float32)
+                  if labels else np.zeros((0, 5), np.float32))
+        return np.ascontiguousarray(img), labels
+
+    def load_letterboxed(
+        self, idx: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(img_uint8 (S,S,3), boxes_xyxy_px (N,4), classes (N,))."""
+        import cv2
+
+        img, labels = self.load_raw(idx)
+        s = self.img_size
+        h, w = img.shape[:2]
+        scale = min(s / h, s / w)
+        nh, nw = round(h * scale), round(w * scale)
+        if (nh, nw) != (h, w):
+            img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        pad_y, pad_x = (s - nh) // 2, (s - nw) // 2
+        canvas = np.full((s, s, 3), 114, np.uint8)
+        canvas[pad_y:pad_y + nh, pad_x:pad_x + nw] = img
+
+        if labels.shape[0]:
+            cx = labels[:, 1] * w * scale + pad_x
+            cy = labels[:, 2] * h * scale + pad_y
+            bw = labels[:, 3] * w * scale
+            bh = labels[:, 4] * h * scale
+            boxes = np.stack(
+                [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
+            classes = labels[:, 0].astype(np.int32) + self.class_offset
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+            classes = np.zeros((0,), np.int32)
+        return canvas, boxes.astype(np.float32), classes
+
+
+def normalize_images(images_uint8: np.ndarray) -> np.ndarray:
+    """(B,S,S,3) uint8 -> ImageNet-normalised float32."""
+    x = images_uint8.astype(np.float32) / 255.0
+    return (x - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+        IMAGENET_STD, np.float32)
+
+
+def load_difficulty_weights(
+    dataset: YoloDataset,
+    difficulty_map: dict[str, float] | str | Path | None,
+    min_weight: float = 0.1,
+) -> np.ndarray:
+    """Per-image sampling weights from a difficulty map.
+
+    Contract parity with ``create_active_learning_dataloader``
+    (data_loader.py:152-228): keys are image stems or paths, missing
+    entries weight 1.0, floor at ``min_weight``.
+    """
+    n = len(dataset)
+    if difficulty_map is None:
+        return np.ones(n, np.float64)
+    if isinstance(difficulty_map, (str, Path)):
+        difficulty_map = json.loads(Path(difficulty_map).read_text())
+    weights = np.ones(n, np.float64)
+    for i, p in enumerate(dataset.image_paths):
+        for key in (str(p), p.name, p.stem):
+            if key in difficulty_map:
+                weights[i] = float(difficulty_map[key])
+                break
+    return np.maximum(weights, min_weight)
+
+
+def batch_iterator(
+    dataset: YoloDataset,
+    batch_size: int,
+    rng: np.random.Generator,
+    steps: int | None = None,
+    weights: np.ndarray | None = None,
+    augment: bool = False,
+    shuffle: bool = True,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Yields static-shape batches; weighted sampling with replacement when
+    ``weights`` is given (the active-learning path), else epoch shuffling."""
+    from .augment import augment_sample
+
+    n = len(dataset)
+    g = dataset.max_boxes
+    s = dataset.img_size
+
+    def sample_indices(count: int) -> np.ndarray:
+        if weights is not None:
+            p = np.asarray(weights, np.float64)
+            return rng.choice(n, size=count, replace=True, p=p / p.sum())
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        reps = int(np.ceil(count / n))
+        return np.tile(idx, reps)[:count]
+
+    total = steps if steps is not None else int(np.ceil(n / batch_size))
+    order = sample_indices(total * batch_size)
+
+    for step in range(total):
+        images = np.zeros((batch_size, s, s, 3), np.uint8)
+        boxes = np.zeros((batch_size, g, 4), np.float32)
+        labels = np.zeros((batch_size, g), np.int32)
+        mask = np.zeros((batch_size, g), bool)
+        for b in range(batch_size):
+            i = order[step * batch_size + b]
+            img, bx, cl = dataset.load_letterboxed(int(i))
+            if augment:
+                img, bx, cl = augment_sample(rng, img, bx, cl)
+            k = min(len(bx), g)
+            images[b] = img
+            boxes[b, :k] = bx[:k]
+            labels[b, :k] = cl[:k]
+            mask[b, :k] = True
+        yield {
+            "images": normalize_images(images),
+            "boxes": boxes,
+            "labels": labels,
+            "mask": mask,
+        }

@@ -1,0 +1,185 @@
+"""Synthetic FSD cone dataset generator.
+
+The dry-run data source, behavioural parity with
+``/root/reference/unina_yolo_dla/tools/generate_synthetic_fsd.py``:
+noise background, 4 cone classes drawn as simple geometric shapes
+(triangles for cones, wider triangles for large-orange), non-overlapping,
+sizes spanning the small-object regime (down to ~8 px so ``mAP_small``
+is exercised), YOLO-format labels, a dataset YAML, deterministic seeding,
+and label self-validation.
+
+Pure numpy drawing (barycentric-mask triangles); cv2 only for JPEG IO.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+# BGR colours per class (yellow, blue, orange, large_orange)
+CLASS_COLORS = (
+    (40, 220, 230),
+    (200, 90, 30),
+    (30, 110, 240),
+    (10, 80, 250),
+)
+CLASS_NAMES = ("yellow_cone", "blue_cone", "orange_cone", "large_orange_cone")
+
+
+@dataclasses.dataclass
+class SynthConfig:
+    image_size: int = 640
+    min_cones: int = 3
+    max_cones: int = 12
+    min_height: int = 8       # small-object regime included
+    max_height: int = 90
+    large_class_scale: float = 1.5
+    seed: int = 42
+
+
+def _draw_triangle(img: np.ndarray, cx: float, by: float, w: float, h: float,
+                   color: tuple[int, int, int]) -> None:
+    """Filled isoceles triangle (apex up) via barycentric half-plane masks."""
+    hgt, wid = img.shape[:2]
+    x0 = max(int(cx - w / 2) - 1, 0)
+    x1 = min(int(cx + w / 2) + 2, wid)
+    y0 = max(int(by - h) - 1, 0)
+    y1 = min(int(by) + 2, hgt)
+    if x0 >= x1 or y0 >= y1:
+        return
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    # apex (cx, by-h), base corners (cx±w/2, by)
+    ax, ay = cx, by - h
+    lx, rx = cx - w / 2, cx + w / 2
+    # inside if below both slanted edges and above the base
+    left_edge = (xs - ax) * (by - ay) - (ys - ay) * (lx - ax)
+    right_edge = (xs - ax) * (by - ay) - (ys - ay) * (rx - ax)
+    inside = (left_edge >= 0) & (right_edge <= 0) & (ys <= by) & (ys >= ay)
+    img[y0:y1, x0:x1][inside] = color
+
+
+def _add_stripe(img: np.ndarray, cx: float, by: float, w: float, h: float
+                ) -> None:
+    """White band across the cone midsection (visual realism cue)."""
+    hgt, wid = img.shape[:2]
+    y_mid0 = int(by - 0.55 * h)
+    y_mid1 = int(by - 0.40 * h)
+    x0 = max(int(cx - w * 0.3), 0)
+    x1 = min(int(cx + w * 0.3), wid)
+    y_mid0, y_mid1 = max(y_mid0, 0), min(y_mid1, hgt)
+    if y_mid0 < y_mid1 and x0 < x1:
+        region = img[y_mid0:y_mid1, x0:x1]
+        region[region.sum(-1) > 90] = (240, 240, 240)
+
+
+def generate_image(
+    rng: np.random.Generator,
+    cfg: SynthConfig = SynthConfig(),
+) -> tuple[np.ndarray, list[tuple[int, float, float, float, float]]]:
+    """One image + YOLO labels [(cls, cx, cy, w, h) normalised]."""
+    s = cfg.image_size
+    # textured background: low-frequency gradient + noise
+    base = rng.integers(60, 140)
+    img = np.full((s, s, 3), base, np.uint8)
+    grad = np.linspace(0, rng.integers(10, 50), s, dtype=np.int16)
+    img = np.clip(img.astype(np.int16) + grad[:, None, None]
+                  + rng.integers(-18, 18, (s, s, 3), dtype=np.int16),
+                  0, 255).astype(np.uint8)
+
+    n = int(rng.integers(cfg.min_cones, cfg.max_cones + 1))
+    labels: list[tuple[int, float, float, float, float]] = []
+    occupied: list[tuple[float, float, float, float]] = []
+
+    for _ in range(n):
+        cls = int(rng.integers(0, 4))
+        h = float(rng.uniform(cfg.min_height, cfg.max_height))
+        w = h * (0.85 if cls != 3 else cfg.large_class_scale * 0.6)
+        for _attempt in range(20):
+            cx = float(rng.uniform(w / 2 + 2, s - w / 2 - 2))
+            by = float(rng.uniform(h + 2, s - 2))
+            x1b, y1b = cx - w / 2, by - h
+            x2b, y2b = cx + w / 2, by
+            clash = any(not (x2b < ox1 or x1b > ox2 or y2b < oy1 or y1b > oy2)
+                        for ox1, oy1, ox2, oy2 in occupied)
+            if not clash:
+                break
+        else:
+            continue
+        occupied.append((x1b, y1b, x2b, y2b))
+        _draw_triangle(img, cx, by, w, h, CLASS_COLORS[cls])
+        if h > 14:
+            _add_stripe(img, cx, by, w, h)
+        labels.append((cls, cx / s, (y1b + y2b) / 2 / s, w / s, h / s))
+
+    return img, labels
+
+
+def validate_labels(labels, tolerance: float = 1e-6) -> bool:
+    """Self-check mirroring the reference generator's bounds validation."""
+    for cls, cx, cy, w, h in labels:
+        if not 0 <= cls <= 3:
+            return False
+        for v in (cx, cy, w, h):
+            if v < -tolerance or v > 1.0 + tolerance:
+                return False
+        if w <= 0 or h <= 0:
+            return False
+    return True
+
+
+def generate_dataset(
+    output_dir: str | Path,
+    num_train: int = 50,
+    num_val: int = 10,
+    cfg: SynthConfig = SynthConfig(),
+) -> Path:
+    """Write images/{train,val}, labels/{train,val} and a dataset YAML.
+
+    Returns the YAML path (consumable by data.dataset.YoloDataset).
+    """
+    import cv2
+
+    output_dir = Path(output_dir)
+    rng = np.random.default_rng(cfg.seed)
+    for split, count in (("train", num_train), ("val", num_val)):
+        img_dir = output_dir / "images" / split
+        lbl_dir = output_dir / "labels" / split
+        img_dir.mkdir(parents=True, exist_ok=True)
+        lbl_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            img, labels = generate_image(rng, cfg)
+            if not validate_labels(labels):
+                continue
+            cv2.imwrite(str(img_dir / f"synth_{i:04d}.jpg"), img)
+            with open(lbl_dir / f"synth_{i:04d}.txt", "w") as f:
+                for cls, cx, cy, w, h in labels:
+                    f.write(f"{cls} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f}\n")
+
+    yaml_path = output_dir / "fsd_synth.yaml"
+    names = "\n".join(f"  {i}: {n}" for i, n in enumerate(CLASS_NAMES))
+    yaml_path.write_text(
+        f"# Synthetic FSD dataset (auto-generated)\n"
+        f"path: {output_dir.resolve()}\n"
+        f"train: images/train\nval: images/val\n"
+        f"names:\n{names}\nnc: 4\n")
+    return yaml_path
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Generate synthetic FSD dataset")
+    p.add_argument("--output", default="synth_data")
+    p.add_argument("--num-train", type=int, default=50)
+    p.add_argument("--num-val", type=int, default=10)
+    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    cfg = SynthConfig(image_size=args.image_size, seed=args.seed)
+    path = generate_dataset(args.output, args.num_train, args.num_val, cfg)
+    print(f"dataset yaml: {path}")
+
+
+if __name__ == "__main__":
+    main()
