@@ -8,6 +8,9 @@ Behavioural parity with the reference blocks
   the cheapest VPU activation — kept for weight-compat and parity).
 - bfloat16 compute / float32 params & batch-norm statistics.
 - Convs carry no bias (BatchNorm folds it), matching the reference.
+- Every block threads an optional ``QuantSpec`` for int8 QAT — the
+  quantized twin model (reference qat.py:225-345) is the SAME module tree
+  with quantizers switched on, so FP32->QAT weight transfer is a no-op.
 
 Every block is a plain ``flax.linen.Module``; XLA fuses BN+ReLU into the
 conv epilogue on TPU, so there is no hand-fused conv kernel here — the MXU
@@ -20,9 +23,15 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..quant.fake_quant import ActQuant, QuantConv, QuantSpec
+
 
 class ConvBlock(nn.Module):
-    """Conv(no-bias) + BatchNorm + ReLU (reference model.py:23-50)."""
+    """Conv(no-bias) + BatchNorm + ReLU (reference model.py:23-50).
+
+    With quantisation on, the conv input and weight are fake-quantised
+    (QuantConvBlock parity, qat.py:225-258).
+    """
 
     features: int
     kernel_size: int = 3
@@ -30,10 +39,11 @@ class ConvBlock(nn.Module):
     groups: int = 1
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quant: QuantSpec | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
+        x = QuantConv(
             self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
@@ -42,6 +52,7 @@ class ConvBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            quant=self.quant,
             name="conv",
         )(x)
         x = nn.BatchNorm(
@@ -56,22 +67,29 @@ class ConvBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 with optional residual (reference model.py:53-73)."""
+    """1x1 -> 3x3 with optional residual (reference model.py:53-73).
+
+    The residual identity branch gets its own activation quantizer so the
+    int8 add sees matched scales (parity: qat.py:281-294).
+    """
 
     features: int
     shortcut: bool = True
     expansion: float = 0.5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quant: QuantSpec | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
-        out = ConvBlock(hidden, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="cv1")(x, train)
-        out = ConvBlock(self.features, 3, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="cv2")(out, train)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
+        out = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
+        out = ConvBlock(self.features, 3, name="cv2", **kw)(out, train)
         if self.shortcut and x.shape[-1] == self.features:
+            if self.quant is not None and self.quant.mode != "off":
+                x = ActQuant(self.quant, name="residual_q")(x)
             out = x + out
         return out
 
@@ -89,11 +107,13 @@ class C3k2(nn.Module):
     expansion: float = 0.5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quant: QuantSpec | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         path1 = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         for i in range(self.n):
             path1 = Bottleneck(hidden, self.shortcut, expansion=1.0,
@@ -111,12 +131,14 @@ class SPPF(nn.Module):
     pool_size: int = 5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quant: QuantSpec | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
         hidden = in_ch // 2
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  quant=self.quant)
         x = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         k = self.pool_size
         pad = k // 2

@@ -12,6 +12,8 @@ from typing import Any
 
 import jax.numpy as jnp
 
+from ..quant.fake_quant import QuantSpec
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
@@ -37,6 +39,16 @@ class ModelConfig:
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     num_anchors: int = 1
+    # int8 QAT / calibration behaviour; None == FP model (quant='off').
+    quant: QuantSpec | None = None
+
+    def with_quant(self, mode: str, **kw) -> "ModelConfig":
+        """Same architecture with quantisation mode switched — the QAT twin
+        shares this config's param tree exactly (SURVEY §7 'deterministic
+        QAT-from-FP32 handoff')."""
+        base = self.quant or QuantSpec()
+        return dataclasses.replace(
+            self, quant=dataclasses.replace(base, mode=mode, **kw))
 
     @property
     def widths(self) -> tuple[int, int, int, int, int]:

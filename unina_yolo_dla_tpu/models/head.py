@@ -6,7 +6,11 @@ Parity with ``/root/reference/unina_yolo_dla/model.py:274-303``: cls branch =
 
 The final 1x1 convs carry a bias (torch Conv2d default) and emit raw logits;
 the cls bias is initialised to a negative prior so the sigmoid starts near
-p=0.01, which stabilises early training of the focal/BCE loss.
+p=0.01, which stabilises early training of the BCE loss.
+
+The P2 head is on the quantisation exclusion list by default
+(train.py:779-781) — its QuantConvs resolve to plain convs via the
+QuantSpec path filter.
 """
 from __future__ import annotations
 
@@ -16,6 +20,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..quant.fake_quant import QuantConv
 from .blocks import ConvBlock
 from .config import ModelConfig
 
@@ -31,19 +36,20 @@ class DetectionHead(nn.Module):
         cfg = self.config
         hidden = x.shape[-1]
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
-                                  param_dtype=cfg.param_dtype)
+                                  param_dtype=cfg.param_dtype,
+                                  quant=cfg.quant)
 
         cls = ConvBlock(hidden, 3, name="cls_conv1", **kw)(x, train)
         cls = ConvBlock(hidden, 3, name="cls_conv2", **kw)(cls, train)
-        cls = nn.Conv(
+        cls = QuantConv(
             cfg.num_classes * cfg.num_anchors, (1, 1), use_bias=True,
             bias_init=nn.initializers.constant(CLS_BIAS_INIT),
             name="cls_pred", **kw)(cls)
 
         reg = ConvBlock(hidden, 3, name="reg_conv1", **kw)(x, train)
         reg = ConvBlock(hidden, 3, name="reg_conv2", **kw)(reg, train)
-        reg = nn.Conv(4 * cfg.num_anchors, (1, 1), use_bias=True,
-                      name="reg_pred", **kw)(reg)
+        reg = QuantConv(4 * cfg.num_anchors, (1, 1), use_bias=True,
+                        name="reg_pred", **kw)(reg)
 
         # Logits in float32 for numerically stable loss/decode.
         return cls.astype(jnp.float32), reg.astype(jnp.float32)

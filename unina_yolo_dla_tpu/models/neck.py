@@ -22,7 +22,8 @@ class Neck(nn.Module):
         cfg = self.config
         _c1, c2, c3, c4, _c5 = cfg.widths
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
-                                  param_dtype=cfg.param_dtype)
+                                  param_dtype=cfg.param_dtype,
+                                  quant=cfg.quant)
 
         p2_in, p3_in, p4_in, p4_sppf = features
 

@@ -1,0 +1,173 @@
+"""Int8 fake-quantisation primitives (the pytorch-quantization replacement).
+
+Design (parity targets in parentheses):
+
+- symmetric per-tensor int8 fake-quant with straight-through estimator
+  (TensorQuantizer semantics; per-tensor descriptors, qat.py:109-113).
+- weights: amax = max|w| computed inline each step ("max" calibration).
+- activations: amax comes from a ``quant`` variable collection, filled by
+  the offline calibrator (histogram/entropy — quant/calibrate.py, replacing
+  ``collect_calibration_stats`` qat.py:171-220 + TensorRT's
+  IInt8EntropyCalibrator2).
+- calibration mode: modules pass activations through unchanged while
+  accumulating running-amax and a fixed-bin |x| histogram into a mutable
+  ``quant_calib`` collection (two-pass: max first, then histogram).
+
+Because quantisation state lives in separate collections and the param tree
+is IDENTICAL between FP32 and QAT models, the FP32->QAT handoff is a plain
+params copy — no name-matching surgery (contrast qat.py:521-673).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+HIST_BINS = 2048
+
+# FP16/FP32-excluded layer patterns: stem + P2 head keep full precision
+# (train.py:779-781 — small-object-critical layers).
+DEFAULT_EXCLUDE = ("backbone/stem", "backbone/stage1_conv", "head_p2")
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Quantisation behaviour threaded through the model tree.
+
+    mode: "off" (FP path), "calib_max" (pass-through, collect running amax),
+    "calib_hist" (pass-through, fill |x| histograms over [0, amax]),
+    "quantize" (fake-quant with calibrated amax).
+    """
+
+    mode: str = "off"
+    num_bits: int = 8
+    exclude: tuple[str, ...] = DEFAULT_EXCLUDE
+
+    @property
+    def qmax(self) -> float:
+        return float(2 ** (self.num_bits - 1) - 1)
+
+    def excluded(self, path: str) -> bool:
+        return any(re.search(pat, path) for pat in self.exclude)
+
+
+def ste_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Round with straight-through gradient."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def fake_quant_tensor(x: jnp.ndarray, amax: jnp.ndarray,
+                      qmax: float) -> jnp.ndarray:
+    """Symmetric per-tensor fake-quant; amax<=0 disables (pass-through)."""
+    amax = jnp.maximum(amax, 1e-9)
+    scale = amax / qmax
+    q = ste_round(jnp.clip(x / scale, -qmax, qmax)) * scale
+    return jnp.where(amax > 1e-8, q, x).astype(x.dtype)
+
+
+class ActQuant(nn.Module):
+    """Activation quantizer with calibration state.
+
+    Collections:
+      quant/amax          — calibrated threshold (set by the calibrator)
+      quant_calib/amax    — running max|x| (calib_max mode)
+      quant_calib/hist    — |x| histogram over [0, amax] (calib_hist mode)
+    """
+
+    spec: QuantSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spec = self.spec
+        path = "/".join(self.scope.path)
+        if spec.mode == "off" or spec.excluded(path):
+            return x
+
+        if spec.mode == "calib_max":
+            running = self.variable("quant_calib", "amax",
+                                    lambda: jnp.zeros((), jnp.float32))
+            running.value = jnp.maximum(
+                running.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            return x
+
+        if spec.mode == "calib_hist":
+            running = self.variable("quant_calib", "amax",
+                                    lambda: jnp.zeros((), jnp.float32))
+            hist = self.variable("quant_calib", "hist",
+                                 lambda: jnp.zeros((HIST_BINS,), jnp.float32))
+            absx = jnp.abs(x.astype(jnp.float32)).reshape(-1)
+            upper = jnp.maximum(running.value, 1e-9)
+            idx = jnp.clip((absx / upper * HIST_BINS).astype(jnp.int32),
+                           0, HIST_BINS - 1)
+            hist.value = hist.value + jnp.zeros_like(hist.value).at[idx].add(
+                1.0)
+            return x
+
+        # quantize
+        amax = self.variable("quant", "amax",
+                             lambda: jnp.zeros((), jnp.float32))
+        return fake_quant_tensor(x, amax.value, spec.qmax)
+
+
+def quant_weight(w: jnp.ndarray, spec: QuantSpec, path: str) -> jnp.ndarray:
+    """Per-tensor max-calibrated weight fake-quant (inline, stateless)."""
+    if spec.mode != "quantize" or spec.excluded(path):
+        return w
+    amax = jnp.max(jnp.abs(w)).astype(jnp.float32)
+    return fake_quant_tensor(w, amax, spec.qmax)
+
+
+class QuantConv(nn.Module):
+    """Conv with optional input/weight fake-quant.
+
+    Param layout identical to ``nn.Conv`` (kernel HWIO named "kernel", bias
+    "bias") so FP32 checkpoints load directly into the QAT model.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = 0
+    feature_group_count: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+    quant: QuantSpec | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, in_ch, self.features), self.param_dtype)
+
+        spec = self.quant or QuantSpec()
+        path = "/".join(self.scope.path)
+        if spec.mode != "off" and not spec.excluded(path):
+            x = ActQuant(spec, name="in_q")(x)
+            kernel = quant_weight(kernel, spec, path)
+
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=self.strides,
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y

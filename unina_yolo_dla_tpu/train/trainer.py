@@ -88,17 +88,23 @@ def make_train_step(
     tc: TrainConfig,
     loss_cfg: LossConfig = LossConfig(),
     grid_sizes=None,
+    extra_variables: dict[str, Any] | None = None,
 ) -> Callable[[TrainState, dict[str, jnp.ndarray]],
               tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Returns a pure (state, batch) -> (state, metrics) step.
 
     ``batch``: images (B,H,W,3) float32 normalised; boxes (B,G,4) xyxy px;
     labels (B,G) int32; mask (B,G) bool.
+
+    ``extra_variables``: frozen collections threaded into apply — e.g. the
+    calibrated ``quant`` amax collection during QAT fine-tuning (amax stays
+    frozen after calibration, matching the reference recipe).
     """
+    extra = extra_variables or {}
 
     def loss_fn(params, batch_stats, batch):
         outputs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": params, "batch_stats": batch_stats, **extra},
             batch["images"], train=True, mutable=["batch_stats"])
         loss, aux = detection_loss(
             outputs, batch["boxes"], batch["labels"], batch["mask"],
@@ -132,11 +138,14 @@ def make_train_step(
 
 
 def make_eval_step(model, cfg: ModelConfig, loss_cfg: LossConfig = LossConfig(),
-                   grid_sizes=None, use_ema: bool = True):
+                   grid_sizes=None, use_ema: bool = True,
+                   extra_variables: dict[str, Any] | None = None):
+    extra = extra_variables or {}
+
     def eval_step(state: TrainState, batch):
         params = state.ema_params if use_ema else state.params
         outputs = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats, **extra},
             batch["images"], train=False)
         _, aux = detection_loss(
             outputs, batch["boxes"], batch["labels"], batch["mask"],
