@@ -181,6 +181,12 @@ def batch_iterator(
             p = np.asarray(weights, np.float64)
             return rng.choice(n, size=count, replace=True, p=p / p.sum())
         idx = rng.permutation(n) if shuffle else np.arange(n)
+        if steps is None:
+            # epoch mode: pad the tail with -1 so evaluation never double-
+            # counts an image; padded slots carry sample_valid=False
+            pad = (-np.ones(count - n, np.int64) if count > n
+                   else np.empty(0, np.int64))
+            return np.concatenate([idx, pad])
         reps = int(np.ceil(count / n))
         return np.tile(idx, reps)[:count]
 
@@ -192,9 +198,12 @@ def batch_iterator(
         boxes = np.zeros((batch_size, g, 4), np.float32)
         labels = np.zeros((batch_size, g), np.int32)
         mask = np.zeros((batch_size, g), bool)
+        sample_valid = np.zeros(batch_size, bool)
         for b in range(batch_size):
-            i = order[step * batch_size + b]
-            img, bx, cl = dataset.load_letterboxed(int(i))
+            i = int(order[step * batch_size + b])
+            if i < 0:
+                continue  # tail padding slot
+            img, bx, cl = dataset.load_letterboxed(i)
             if augment:
                 img, bx, cl = augment_sample(rng, img, bx, cl)
             k = min(len(bx), g)
@@ -202,9 +211,11 @@ def batch_iterator(
             boxes[b, :k] = bx[:k]
             labels[b, :k] = cl[:k]
             mask[b, :k] = True
+            sample_valid[b] = True
         yield {
             "images": normalize_images(images),
             "boxes": boxes,
             "labels": labels,
             "mask": mask,
+            "sample_valid": sample_valid,
         }
