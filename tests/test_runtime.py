@@ -1,0 +1,130 @@
+"""AOT artifact + serving lifecycle tests (the export_trt + ROS-node
+equivalents, runnable on the CPU backend like the reference's mocks)."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unina_yolo_dla_tpu.models import ModelConfig, init_model
+from unina_yolo_dla_tpu.runtime.aot import (
+    FallbackReport,
+    ServingArtifact,
+    analyze_lowered,
+    export_serving_artifact,
+    print_fallback_report,
+    validate_artifact_shapes,
+)
+from unina_yolo_dla_tpu.runtime.serving import LifecycleState, PerceptionServer
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg)
+    out = tmp_path_factory.mktemp("artifact")
+    export_serving_artifact(model, variables, out, max_detections=64)
+    return out, model, variables
+
+
+def test_export_writes_artifact(artifact_dir):
+    out, model, variables = artifact_dir
+    assert (out / "serving.stablehlo").exists()
+    assert (out / "variables.msgpack").exists()
+    cfg = json.loads((out / "config.json").read_text())
+    assert cfg["input_size"] == IMG
+    assert cfg["max_detections"] == 64
+    report = json.loads((out / "fallback_report.json").read_text())
+    assert report["host_callbacks"] == []
+    assert report["dynamic_shapes"] == []
+    # compacted result set ~ small (boxes+scores+classes+valid for K=64)
+    assert report["output_bytes"] <= 64 * (4 + 1 + 1 + 1) * 4
+
+
+def test_artifact_roundtrip_matches_live_model(artifact_dir):
+    out, model, variables = artifact_dir
+    art = ServingArtifact(out)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+
+    got = jax.device_get(art(jnp.asarray(frame)))
+
+    from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
+
+    serve = build_serving_fn(model, model.config, max_detections=64)
+    v = {k: variables[k] for k in ("params", "batch_stats")}
+    want = jax.device_get(serve(v, jnp.asarray(frame)))
+
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
+
+
+def test_fallback_analyzer_detects_callbacks():
+    text = ('stablehlo.custom_call @xla_python_cpu_callback(...)'
+            ' tensor<?x4xf32>')
+    rep = analyze_lowered(text, [jnp.zeros((4,))])
+    assert rep.host_callbacks
+    assert rep.dynamic_shapes
+    with pytest.raises(RuntimeError):
+        print_fallback_report(rep, strict=True, log_fn=lambda s: None)
+    print_fallback_report(rep, strict=False, log_fn=lambda s: None)  # no raise
+
+
+def test_validate_artifact_shapes(artifact_dir):
+    out, _, _ = artifact_dir
+    art = ServingArtifact(out)
+    validate_artifact_shapes(art, IMG, 4)
+    with pytest.raises(ValueError):
+        validate_artifact_shapes(art, 640, 4)
+    with pytest.raises(ValueError):
+        validate_artifact_shapes(art, IMG, 7)
+
+
+def test_server_lifecycle_and_frames(artifact_dir):
+    out, _, _ = artifact_dir
+    logs = []
+    srv = PerceptionServer(out, expected_input=IMG, expected_classes=4,
+                           log_fn=logs.append, warn_throttle_s=0.0)
+    assert srv.state == LifecycleState.UNCONFIGURED
+
+    # frames before activation are dropped, not crashed
+    frame = np.zeros((IMG, IMG, 3), np.uint8)
+    assert srv.process_frame(frame) is None
+    assert srv.frames_dropped == 1
+
+    srv.configure()
+    assert srv.state == LifecycleState.INACTIVE
+    srv.activate()
+    assert srv.state == LifecycleState.ACTIVE
+
+    out_dets = srv.process_frame(frame)
+    assert out_dets is not None
+    assert out_dets["boxes"].shape[1] == 4
+    assert out_dets["count"] == len(out_dets["boxes"])
+
+    # geometry guard
+    assert srv.process_frame(np.zeros((IMG + 2, IMG, 3), np.uint8)) is None
+    assert srv.process_frame(None) is None
+
+    stats = srv.stats()
+    assert stats["frames_processed"] == 1
+    assert stats["frames_dropped"] == 3
+    assert stats["p99_ms"] > 0
+
+    srv.deactivate()
+    assert srv.process_frame(frame) is None
+    srv.shutdown()
+    assert srv.state == LifecycleState.FINALIZED
+
+
+def test_configure_rejects_wrong_dims(artifact_dir):
+    out, _, _ = artifact_dir
+    srv = PerceptionServer(out, expected_input=640, expected_classes=4,
+                           log_fn=lambda s: None)
+    with pytest.raises(ValueError):
+        srv.configure()

@@ -43,6 +43,17 @@ class Detections(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
+# Allow Detections to cross the jax.export serialization boundary (the AOT
+# serving artifact returns one).
+try:
+    from jax import export as _jax_export
+
+    _jax_export.register_namedtuple_serialization(
+        Detections, serialized_name="unina_yolo_dla_tpu.Detections")
+except Exception:  # pragma: no cover - older jax without the registry
+    pass
+
+
 def decode_level(
     cls_logits: jnp.ndarray,   # (H, W, C) raw logits
     reg: jnp.ndarray,          # (H, W, 4) raw TLBR in stride units

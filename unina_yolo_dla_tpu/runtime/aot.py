@@ -1,0 +1,186 @@
+"""AOT serving artifact: the ``.engine`` equivalent.
+
+Replaces the reference's export pipeline (export_trt.py: ONNX opset-13 ->
+TensorRT builder -> serialized DLA engine) with the XLA-native path:
+
+  jit(serving_fn) -> lower at static 640x640x1 shapes -> StableHLO
+  -> serialized ``jax.export`` artifact + msgpack variables + config JSON.
+
+The artifact directory is self-contained: a loader reconstructs the
+frame->boxes callable without the model source. Compilation for the local
+chip happens once at load (cached thereafter) — the analogue of TensorRT
+deserializing an engine.
+
+Fallback analyzer (parity with analyze_engine_layers /
+print_fallback_report, export_trt.py:273-369): instead of checking for
+layers that fell off the DLA, we statically verify the lowered program has
+(a) no host callbacks (custom_call to python), (b) no dynamic shapes, and
+(c) exactly one ~1 KB-scale device->host result set — the conditions for
+retrace-free, jitter-free on-chip execution. Violations hard-fail the
+export in strict mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from ..models.config import (
+    DEFAULT_CONF_THRESHOLD,
+    DEFAULT_CP_Q,
+    DEFAULT_IOU_THRESHOLD,
+    MAX_DETECTIONS,
+    ModelConfig,
+)
+from ..utils.checkpoint import load_msgpack_raw, save_msgpack
+from .pipeline import build_serving_fn
+
+# custom_call targets that imply a host round-trip inside the graph
+_HOST_CALLBACK_PATTERNS = (
+    "xla_python_cpu_callback",
+    "xla_ffi_python",
+    "CallbackToHost",
+    "io_callback",
+)
+
+
+@dataclasses.dataclass
+class FallbackReport:
+    """Static analysis of the lowered serving program."""
+
+    host_callbacks: list[str]
+    dynamic_shapes: list[str]
+    output_bytes: int
+    num_custom_calls: int
+
+    @property
+    def clean(self) -> bool:
+        return not self.host_callbacks and not self.dynamic_shapes
+
+
+def analyze_lowered(stablehlo_text: str, out_tree) -> FallbackReport:
+    """The analyze_engine_layers analogue, over StableHLO text."""
+    callbacks = sorted({
+        pat for pat in _HOST_CALLBACK_PATTERNS if pat in stablehlo_text})
+    # dynamic dims appear as '?' or 'tensor<*' in stablehlo types
+    dynamic = re.findall(r"tensor<[^>]*\?[^>]*>", stablehlo_text)[:5]
+
+    out_bytes = sum(
+        int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+        for leaf in jax.tree.leaves(out_tree))
+    n_cc = stablehlo_text.count("stablehlo.custom_call")
+    return FallbackReport(host_callbacks=callbacks,
+                          dynamic_shapes=sorted(set(dynamic)),
+                          output_bytes=out_bytes,
+                          num_custom_calls=n_cc)
+
+
+def print_fallback_report(report: FallbackReport, strict: bool = True,
+                          log_fn: Callable[[str], None] = print) -> None:
+    """Hard error on any host fallback when strict (export_trt.py:336-369
+    'Zero-Fallback Design' parity)."""
+    log_fn("=== serving-program fallback report ===")
+    log_fn(f"  host callbacks:   {report.host_callbacks or 'none'}")
+    log_fn(f"  dynamic shapes:   {report.dynamic_shapes or 'none'}")
+    log_fn(f"  custom calls:     {report.num_custom_calls}")
+    log_fn(f"  result transfer:  {report.output_bytes} B device->host")
+    if not report.clean and strict:
+        raise RuntimeError(
+            "serving program is not host-fallback-free: "
+            f"callbacks={report.host_callbacks} "
+            f"dynamic={report.dynamic_shapes}")
+
+
+def export_serving_artifact(
+    model,
+    variables: dict[str, Any],
+    output_dir: str | Path,
+    conf_threshold: float = DEFAULT_CONF_THRESHOLD,
+    iou_threshold: float = DEFAULT_IOU_THRESHOLD,
+    q_factor: float = DEFAULT_CP_Q,
+    max_detections: int = MAX_DETECTIONS,
+    strict: bool = True,
+) -> Path:
+    """Serialize the fused frame->boxes program + weights + config."""
+    cfg: ModelConfig = model.config
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    serve = build_serving_fn(model, cfg, conf_threshold, iou_threshold,
+                             q_factor, max_detections)
+    v = {k: variables[k] for k in ("params", "batch_stats", "quant")
+         if k in variables}
+    frame_spec = jax.ShapeDtypeStruct(
+        (cfg.input_size, cfg.input_size, 3), jnp.uint8)
+    v_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), v)
+
+    fn = jax.jit(serve)
+    lowered = fn.lower(v_spec, frame_spec)
+    hlo_text = lowered.as_text()
+    out_tree = jax.eval_shape(serve, v_spec, frame_spec)
+    report = analyze_lowered(hlo_text, out_tree)
+    print_fallback_report(report, strict=strict)
+
+    exported = jax_export.export(fn)(v_spec, frame_spec)
+    (output_dir / "serving.stablehlo").write_bytes(exported.serialize())
+    save_msgpack(v, output_dir / "variables.msgpack")
+    (output_dir / "config.json").write_text(json.dumps({
+        "num_classes": cfg.num_classes,
+        "base_channels": cfg.base_channels,
+        "lite_p2": cfg.lite_p2,
+        "input_size": cfg.input_size,
+        "quantized": "quant" in v,
+        "conf_threshold": conf_threshold,
+        "iou_threshold": iou_threshold,
+        "q_factor": q_factor,
+        "max_detections": max_detections,
+        "output_bytes": report.output_bytes,
+        "platforms": list(exported.platforms),
+    }, indent=2))
+    (output_dir / "fallback_report.json").write_text(json.dumps(
+        dataclasses.asdict(report), indent=2))
+    return output_dir
+
+
+class ServingArtifact:
+    """Loaded artifact: a frame->Detections callable with baked weights.
+
+    The TensorRT-engine-deserialization analogue; the first call compiles
+    for the local chip (cached), subsequent calls are retrace-free.
+    """
+
+    def __init__(self, directory: str | Path) -> None:
+        self.dir = Path(directory)
+        self.config = json.loads((self.dir / "config.json").read_text())
+        exported = jax_export.deserialize(
+            (self.dir / "serving.stablehlo").read_bytes())
+        self._exported = exported
+        self.variables = load_msgpack_raw(self.dir / "variables.msgpack")
+        self._call = jax.jit(exported.call)
+
+    def __call__(self, frame: jnp.ndarray):
+        return self._call(self.variables, frame)
+
+
+def validate_artifact_shapes(artifact: ServingArtifact,
+                             expected_input: int,
+                             expected_classes: int) -> None:
+    """Engine-vs-config dimension validation at configure time
+    (perception_node.cpp:440-457 parity): refuse to serve on mismatch."""
+    c = artifact.config
+    if c["input_size"] != expected_input:
+        raise ValueError(
+            f"artifact input size {c['input_size']} != expected "
+            f"{expected_input}")
+    if c["num_classes"] != expected_classes:
+        raise ValueError(
+            f"artifact classes {c['num_classes']} != expected "
+            f"{expected_classes}")

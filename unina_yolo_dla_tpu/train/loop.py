@@ -1,0 +1,140 @@
+"""High-level fit loop: epochs, eval, checkpointing, data parallelism.
+
+The Ultralytics-trainer-equivalent glue (reference trainer.py/train.py):
+epoch loop over the batch iterator, per-epoch validation (mAP + small-
+object metrics injected into the metric dict like UninaDLAValidator,
+trainer.py:197-286), fitness-tracked best checkpoint (0.1*mAP50 +
+0.9*mAP50-95, the Ultralytics fitness), difficulty-weighted sampling, and
+optional multi-device data parallelism.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import YoloDataset, batch_iterator, load_difficulty_weights
+from ..evaluate import evaluate_model
+from ..models.config import ModelConfig
+from ..parallel import create_mesh, make_parallel_train_step, shard_batch
+from ..utils.checkpoint import CheckpointManager
+from .losses import LossConfig
+from .trainer import TrainConfig, TrainState, create_train_state, make_optimizer, make_train_step
+
+
+def fitness(metrics: dict[str, float]) -> float:
+    """Ultralytics fitness: 0.1*mAP50 + 0.9*mAP50-95."""
+    return 0.1 * metrics.get("map50", 0.0) + 0.9 * metrics.get("map50_95", 0.0)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    best_variables: dict[str, Any]
+    metrics: dict[str, float]
+    history: list[dict[str, float]]
+
+
+def fit(
+    model,
+    variables: dict[str, Any],
+    train_ds: YoloDataset,
+    val_ds: YoloDataset | None,
+    tc: TrainConfig,
+    epochs: int,
+    output_dir: str | Path,
+    loss_cfg: LossConfig = LossConfig(),
+    difficulty_map: str | dict | None = None,
+    augment: bool = True,
+    n_devices: int | None = None,
+    extra_variables: dict[str, Any] | None = None,
+    seed: int = 0,
+    log_fn: Callable[[str], None] = print,
+) -> FitResult:
+    """Train for ``epochs`` over ``train_ds``; returns the best variables.
+
+    ``extra_variables`` carries the frozen quant collection for phase-2 QAT.
+    """
+    cfg: ModelConfig = model.config
+    output_dir = Path(output_dir)
+    ckpts = CheckpointManager(output_dir / "weights")
+
+    steps_per_epoch = max(len(train_ds) // tc.batch_size, 1)
+    tc = dataclasses.replace(
+        tc, total_steps=max(tc.total_steps, steps_per_epoch * epochs))
+    tx = make_optimizer(tc)
+    state = create_train_state(variables, tx, tc)
+    step_fn = make_train_step(model, cfg, tx, tc, loss_cfg,
+                              extra_variables=extra_variables)
+
+    n_dev = n_devices or 1
+    if n_dev > 1:
+        mesh = create_mesh(n_dev)
+        p_step = make_parallel_train_step(step_fn, mesh)
+    else:
+        mesh = None
+        p_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    weights = load_difficulty_weights(train_ds, difficulty_map) \
+        if difficulty_map is not None else None
+    rng = np.random.default_rng(seed)
+
+    history: list[dict[str, float]] = []
+    best_fit = -1.0
+    best_variables = {k: jax.device_get(v) for k, v in variables.items()}
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        for batch in batch_iterator(train_ds, tc.batch_size, rng,
+                                    steps=steps_per_epoch, weights=weights,
+                                    augment=augment):
+            batch.pop("sample_valid", None)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, aux = p_step(state, batch)
+            losses.append(aux)
+
+        mean_loss = float(np.mean([float(a["loss"]) for a in losses]))
+        epoch_metrics: dict[str, float] = {"loss": mean_loss, "epoch": epoch}
+
+        eval_vars = {
+            "params": state.ema_params if tc.use_ema else state.params,
+            "batch_stats": state.batch_stats,
+            **(extra_variables or {}),
+        }
+        if val_ds is not None and len(val_ds) > 0:
+            def val_batches():
+                return batch_iterator(val_ds, min(tc.batch_size, len(val_ds)),
+                                      np.random.default_rng(0),
+                                      shuffle=False, augment=False)
+
+            val_metrics = evaluate_model(model, eval_vars, val_batches)
+            epoch_metrics.update(val_metrics)
+            fit_val = fitness(val_metrics)
+        else:
+            fit_val = -mean_loss  # fall back to loss when no val set
+
+        epoch_metrics["fitness"] = fit_val
+        epoch_metrics["time_s"] = time.time() - t0
+        history.append(epoch_metrics)
+        log_fn(f"epoch {epoch}: loss={mean_loss:.4f} fitness={fit_val:.4f} "
+               f"map50={epoch_metrics.get('map50', float('nan')):.4f} "
+               f"small_f1={epoch_metrics.get('small_object_f1', float('nan')):.4f} "
+               f"({epoch_metrics['time_s']:.1f}s)")
+
+        save_vars = {k: jax.device_get(v) for k, v in eval_vars.items()}
+        ckpts.save(epoch, save_vars, fitness=fit_val)
+        if fit_val > best_fit:
+            best_fit = fit_val
+            best_variables = save_vars
+
+    return FitResult(state=state, best_variables=best_variables,
+                     metrics=history[-1] if history else {},
+                     history=history)

@@ -1,0 +1,172 @@
+"""Two-phase training CLI: FP32 -> int8 QAT, plus export + CP calibration.
+
+The ``train.py`` equivalent (reference train.py:954-1116 CLI surface):
+
+  phase 1  FP32 training            (train_phase1_fp32, train.py:560-686)
+  phase 2  calibrate + QAT fine-tune (train_phase2_qat, train.py:689-901)
+  export   AOT serving artifact      (export_to_onnx+TRT -> runtime.aot)
+  CP       conformal calibration     (train.py:299-520, rank-0 semantics)
+
+Flags mirror the reference: --epochs/--qat-epochs/--batch/--imgsz/
+--skip-fp32/--skip-qat/--export/--difficulty-map/--calibrate-cp/--cp-alpha.
+QAT recipe constants match train.py:848-873: lr0=1e-3, no warmup, EMA off,
+mosaic/mixup off (augment=False), 30 calibration batches.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..data.dataset import YoloDataset, batch_iterator, load_dataset_yaml
+from ..models.config import ModelConfig
+from ..models.detector import init_model
+from ..quant.calibrate import save_calibration_cache
+from ..quant.qat import prepare_qat_variables
+from ..utils.checkpoint import load_msgpack, save_msgpack
+from .conformal import calibrate_conformal_prediction
+from .loop import fit
+from .trainer import TrainConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="UNINA-YOLO-DLA-TPU two-phase training")
+    p.add_argument("--data", required=True, help="dataset YAML")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--qat-epochs", type=int, default=10)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--base-channels", type=int, default=32)
+    p.add_argument("--lite-p2", action="store_true")
+    p.add_argument("--lr0", type=float, default=0.01)
+    p.add_argument("--optimizer", choices=("sgd", "adamw"), default="sgd")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel device count (default: all)")
+    p.add_argument("--output-dir", default="runs/unina_dla")
+    p.add_argument("--weights", default=None,
+                   help="resume/start from a .msgpack checkpoint")
+    p.add_argument("--skip-fp32", action="store_true")
+    p.add_argument("--skip-qat", action="store_true")
+    p.add_argument("--export", action="store_true",
+                   help="write the AOT serving artifact after training")
+    p.add_argument("--difficulty-map", default=None,
+                   help="difficulty_map.json for weighted sampling")
+    p.add_argument("--calibrate-cp", action="store_true")
+    p.add_argument("--cp-alpha", type=float, default=0.10)
+    p.add_argument("--calib-batches", type=int, default=30)
+    p.add_argument("--calib-method", default="entropy",
+                   choices=("entropy", "max", "percentile"))
+    p.add_argument("--max-boxes", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_argparser().parse_args(argv)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    spec = load_dataset_yaml(args.data)
+    train_ds = YoloDataset(spec["train"], img_size=args.imgsz,
+                           max_boxes=args.max_boxes)
+    val_ds = (YoloDataset(spec["val"], img_size=args.imgsz,
+                          max_boxes=args.max_boxes)
+              if Path(spec["val"]).exists() else None)
+
+    cfg = ModelConfig(num_classes=spec["nc"],
+                      base_channels=args.base_channels,
+                      lite_p2=args.lite_p2, input_size=args.imgsz)
+    model, variables = init_model(jax.random.key(args.seed), cfg,
+                                  batch_size=1)
+    if args.weights:
+        variables = load_msgpack(args.weights, variables)
+
+    results: dict = {}
+
+    # ---------- Phase 1: FP32 ----------
+    if not args.skip_fp32:
+        print(f">>> Phase 1: FP32 training ({args.epochs} epochs)")
+        tc = TrainConfig(lr0=args.lr0, batch_size=args.batch,
+                         optimizer=args.optimizer, use_ema=True,
+                         warmup_steps=3 * max(len(train_ds) // args.batch, 1))
+        res = fit(model, variables, train_ds, val_ds, tc,
+                  epochs=args.epochs, output_dir=out_dir / "fp32",
+                  difficulty_map=args.difficulty_map,
+                  n_devices=args.devices, seed=args.seed)
+        variables = res.best_variables
+        save_msgpack(variables, out_dir / "fp32" / "best.msgpack")
+        results["fp32"] = res.metrics
+        print(f">>> Phase 1 complete: {res.metrics}")
+
+    # ---------- Phase 2: QAT ----------
+    if not args.skip_qat:
+        print(">>> Phase 2: int8 QAT "
+              f"({args.calib_method} calibration, {args.qat_epochs} epochs)")
+
+        def calib_batches():
+            return batch_iterator(
+                train_ds, args.batch, np.random.default_rng(0),
+                steps=args.calib_batches, augment=False)
+
+        qat_model, qat_vars = prepare_qat_variables(
+            model, variables, calib_batches,
+            method=args.calib_method, max_batches=args.calib_batches)
+        save_calibration_cache(qat_vars["quant"],
+                               out_dir / "calibration.cache")
+        # the qat_init_calibrated.pt analogue: full calibrated variables
+        save_msgpack(qat_vars, out_dir / "qat_init_calibrated.msgpack")
+
+        # QAT recipe: lr0=1e-3, no warmup, EMA off, augment off
+        tc_qat = TrainConfig(lr0=1e-3, warmup_steps=1,
+                             batch_size=args.batch,
+                             optimizer=args.optimizer, use_ema=False)
+        res = fit(qat_model, qat_vars, train_ds, val_ds, tc_qat,
+                  epochs=args.qat_epochs, output_dir=out_dir / "qat",
+                  augment=False, n_devices=args.devices,
+                  extra_variables={"quant": qat_vars["quant"]},
+                  seed=args.seed)
+        qat_best = dict(res.best_variables)
+        qat_best["quant"] = qat_vars["quant"]
+        save_msgpack(qat_best, out_dir / "qat" / "best.msgpack")
+        results["qat"] = res.metrics
+        model, variables = qat_model, qat_best
+        print(f">>> Phase 2 complete: {res.metrics}")
+
+    # ---------- Conformal calibration (rank-0 only in DDP terms — here
+    # the single host simply runs it once) ----------
+    if args.calibrate_cp and val_ds is not None:
+        print(">>> Conformal-prediction calibration")
+        def cp_batches():
+            return batch_iterator(val_ds, min(args.batch, len(val_ds)),
+                                  np.random.default_rng(0), shuffle=False,
+                                  augment=False)
+        try:
+            payload = calibrate_conformal_prediction(
+                model, variables, cp_batches(), alpha=args.cp_alpha,
+                output_path=out_dir / "cp_calibration.json")
+            results["cp"] = payload
+            print(f">>> q_hat = {payload['q_hat']:.4f}")
+        except RuntimeError as e:
+            # non-fatal, like the reference (train.py:1090-1094)
+            print(f"WARNING: CP calibration failed: {e}")
+
+    # ---------- Export ----------
+    if args.export:
+        from ..runtime.aot import export_serving_artifact
+
+        print(">>> Exporting AOT serving artifact")
+        artifact = export_serving_artifact(
+            model, variables, out_dir / "serving_artifact")
+        results["export"] = str(artifact)
+
+    (out_dir / "results.json").write_text(
+        json.dumps(results, indent=2, default=str))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ def load_msgpack(path: str | Path, template: Any) -> Any:
     return serialization.from_bytes(template, Path(path).read_bytes())
 
 
+def load_msgpack_raw(path: str | Path) -> Any:
+    """Template-free restore: plain nested dict of numpy arrays."""
+    return serialization.msgpack_restore(Path(path).read_bytes())
+
+
 class CheckpointManager:
     """Step checkpoints under ``dir/`` with last/best selection.
 
