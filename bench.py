@@ -55,9 +55,11 @@ def main() -> None:
 
     loop_s = make_loop(serve, N_SMALL)
     loop_l = make_loop(serve, N_LARGE)
-    # compile + warmup (fetch forces full execution through the relay)
-    float(loop_s(variables, frame))
-    float(loop_l(variables, frame))
+    # compile + warmup (fetch forces full execution through the relay);
+    # two full discard rounds absorb remote-compile and relay cold-start
+    for _ in range(3):
+        float(loop_s(variables, frame))
+        float(loop_l(variables, frame))
 
     per_frame = []
     for _ in range(REPEATS):

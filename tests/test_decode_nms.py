@@ -136,3 +136,30 @@ def test_nms_keeps_distinct_classes(rng):
                       jnp.asarray([True, True]))
     out = nms(dets, 0.45)
     assert np.asarray(out.valid).all()  # identical boxes, different classes
+
+
+def test_nms_fixpoint_equals_sequential_scan(rng):
+    """The MXU fixpoint NMS must be bit-identical to the literal greedy
+    scan, including chain cases (A kills B, so B cannot kill C)."""
+    from unina_yolo_dla_tpu.ops import nms_reference
+
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        dets = _random_detections(r, k=96, n_valid=80)
+        fix = np.asarray(nms(dets, 0.45).valid)
+        seq = np.asarray(nms_reference(dets, 0.45).valid)
+        np.testing.assert_array_equal(fix, seq)
+
+
+def test_nms_chain_case():
+    """Explicit suppression chain: A(0.9) overlaps B(0.8), B overlaps
+    C(0.7), A does NOT overlap C -> greedy keeps A and C."""
+    boxes = jnp.asarray([
+        [0.0, 0.0, 20.0, 20.0],     # A
+        [10.0, 0.0, 30.0, 20.0],    # B: IoU(A,B)=1/3 > .3 -> suppressed by A
+        [20.0, 0.0, 40.0, 20.0],    # C: IoU(B,C)=1/3, IoU(A,C)=0
+    ], jnp.float32)
+    dets = Detections(boxes, jnp.asarray([0.9, 0.8, 0.7]),
+                      jnp.zeros(3, jnp.int32), jnp.ones(3, bool))
+    keep = np.asarray(nms(dets, 0.3).valid)
+    np.testing.assert_array_equal(keep, [True, False, True])
