@@ -1,0 +1,118 @@
+"""Native C++ perception-host integration test.
+
+Builds the daemon (cmake/ninja), exports a small AOT artifact, streams
+synthetic frames through the /dev/shm zero-copy ring with ring_tool, and
+checks detections + latency stats come out — the MOCK_CUDA-style CI test
+of the reference node, but against the real binary end to end.
+"""
+import os
+import struct
+import subprocess
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+NATIVE = REPO / "unina_yolo_dla_tpu" / "runtime" / "native"
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def native_build():
+    build = NATIVE / "build"
+    subprocess.run(["cmake", "-S", str(NATIVE), "-B", str(build),
+                    "-G", "Ninja"], check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", str(build)], check=True,
+                   capture_output=True)
+    return build
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.runtime.aot import export_serving_artifact
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg)
+    out = tmp_path_factory.mktemp("native_artifact")
+    export_serving_artifact(model, variables, out, max_detections=64)
+    return out
+
+
+def test_host_end_to_end(native_build, artifact, tmp_path):
+    ring = tmp_path / "frames.ring"
+    dets = tmp_path / "dets.out"
+
+    env = dict(os.environ)
+    env["UNINA_FORCE_CPU"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+
+    host = subprocess.Popen(
+        [str(native_build / "perception_host"),
+         "--artifact", str(artifact), "--ring", str(ring),
+         "--out", str(dets), "--input", str(IMG), "--classes", "4",
+         "--max-frames", "5"],
+        env=env, stderr=subprocess.PIPE, text=True)
+
+    # produce frames slowly enough to outlast host configure/compile
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce",
+         "--ring", str(ring), "--width", str(IMG), "--height", str(IMG),
+         "--frames", "3000", "--fps", "30", "--slots", "4"],
+        stderr=subprocess.PIPE, text=True)
+
+    try:
+        _, host_err = host.communicate(timeout=280)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=10)
+        if host.poll() is None:
+            host.kill()
+
+    assert host.returncode == 0, f"host failed:\n{host_err}"
+    assert "configured" in host_err
+    assert "active" in host_err
+    assert "frames=5" in host_err
+    assert "p99=" in host_err
+
+    # detection output block is well-formed
+    raw = dets.read_bytes()
+    magic, = struct.unpack_from("<Q", raw, 0)
+    assert magic == 0x554E494E41524E47
+    seq, = struct.unpack_from("<Q", raw, 8)
+    count, = struct.unpack_from("<I", raw, 16)
+    assert seq > 0
+    assert 0 <= count <= 64
+
+    # read-dets tool parses it too
+    out = subprocess.run(
+        [str(native_build / "ring_tool"), "read-dets", "--out", str(dets)],
+        capture_output=True, text=True)
+    assert out.returncode == 0
+    assert "count=" in out.stdout
+
+
+def test_lifecycle_configure_failure(native_build, tmp_path):
+    """Bad artifact dir -> clean FATAL, nonzero exit, no crash."""
+    ring = tmp_path / "r2.ring"
+    # create a dummy ring so the host reaches configure
+    subprocess.run(
+        [str(native_build / "ring_tool"), "produce", "--ring", str(ring),
+         "--width", "16", "--height", "16", "--frames", "1"],
+        check=True, capture_output=True)
+    env = dict(os.environ)
+    env["UNINA_FORCE_CPU"] = "1"
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    res = subprocess.run(
+        [str(native_build / "perception_host"),
+         "--artifact", str(tmp_path / "nonexistent"),
+         "--ring", str(ring), "--out", str(tmp_path / "d.out"),
+         "--input", "16", "--classes", "4"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert res.returncode == 1
+    assert "FATAL" in res.stderr

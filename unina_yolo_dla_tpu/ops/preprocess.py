@@ -61,6 +61,43 @@ def resize_bilinear(img: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
     return left + (right - left) * fx[None, :, None]
 
 
+def _interp_matrix(dst: int, src: int) -> jnp.ndarray:
+    """(dst, src) bilinear interpolation matrix (two nonzeros per row),
+    same half-pixel coordinate math as ``_bilinear_coords``."""
+    import numpy as np
+
+    scale = src / dst
+    coords = (np.arange(dst) + 0.5) * scale - 0.5
+    coords = np.clip(coords, 0.0, src - 1.0)
+    i0 = np.floor(coords).astype(np.int64)
+    i1 = np.minimum(i0 + 1, src - 1)
+    frac = (coords - i0).astype(np.float32)
+    m = np.zeros((dst, src), np.float32)
+    m[np.arange(dst), i0] += 1.0 - frac
+    m[np.arange(dst), i1] += frac
+    return jnp.asarray(m)
+
+
+def resize_bilinear_mxu(img: jnp.ndarray, dst_h: int,
+                        dst_w: int) -> jnp.ndarray:
+    """Bilinear resize as two interpolation MATMULS — the TPU-native
+    formulation of the CUDA resize kernel (cuda_preprocess.cu:144-204).
+
+    ``out = Ry @ img @ Rx^T`` where Ry (dst_h, H) / Rx (dst_w, W) encode
+    the separable bilinear weights. Gathers (the GPU formulation) are slow
+    on TPU; two dense matmuls ride the MXU at ~full rate. Bit-compatible
+    with ``resize_bilinear`` up to float accumulation order.
+    """
+    src_h, src_w = img.shape[0], img.shape[1]
+    ry = _interp_matrix(dst_h, src_h)                      # (dh, H)
+    rx = _interp_matrix(dst_w, src_w)                      # (dw, W)
+    x = img.astype(jnp.float32)
+    rows = jnp.einsum("dh,hwc->dwc", ry, x,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("ew,dwc->dec", rx, rows,
+                      preferred_element_type=jnp.float32)
+
+
 def preprocess_rgb(
     img_uint8: jnp.ndarray,
     out_size: int = 640,

@@ -1,0 +1,63 @@
+"""Executor entry point for the native C++ host.
+
+The C++ daemon (runtime/native/src/perception_host.cpp) embeds CPython,
+calls ``make_executor`` once at configure time, then invokes the returned
+callable per frame with a zero-copy memoryview of the shared-memory slot.
+The return value is a packed bytes blob matching ``unina::Detection``
+(frame_ring.hpp): u32 count, then count * {f32 x1,y1,x2,y2,score; i32 cls}.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def make_executor(artifact_dir: str, expected_input: int = 640,
+                  expected_classes: int = 4):
+    import os
+
+    import jax
+
+    # UNINA_FORCE_CPU: run the executor on the CPU backend (the reference's
+    # UNINA_FORCE_MOCKS analogue — JAX's CPU backend replaces the entire
+    # mock apparatus). Must be applied before the backend initialises.
+    if os.environ.get("UNINA_FORCE_CPU"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    from .aot import ServingArtifact, validate_artifact_shapes
+
+    artifact = ServingArtifact(artifact_dir)
+    validate_artifact_shapes(artifact, expected_input, expected_classes)
+
+    # warm-compile so the first real frame is retrace-free
+    dummy = np.zeros((expected_input, expected_input, 3), np.uint8)
+    jax.block_until_ready(artifact(dummy))
+
+    s = expected_input
+
+    def execute(buf, width: int, height: int, channels: int) -> bytes:
+        frame = np.frombuffer(buf, np.uint8)
+        frame = frame[: height * width * channels].reshape(
+            height, width, channels)
+        if channels == 4:  # BGRA -> RGB
+            frame = np.ascontiguousarray(frame[..., 2::-1])
+        if (height, width) != (s, s):
+            return struct.pack("<I", 0xFFFFFFFF)  # geometry error sentinel
+
+        boxes, scores, classes, valid = jax.device_get(artifact(frame))
+        keep = np.asarray(valid)
+        rec = np.zeros(int(keep.sum()), dtype=np.dtype(
+            [("x1", "<f4"), ("y1", "<f4"), ("x2", "<f4"), ("y2", "<f4"),
+             ("score", "<f4"), ("cls", "<i4")]))
+        b = np.asarray(boxes)[keep]
+        rec["x1"], rec["y1"] = b[:, 0], b[:, 1]
+        rec["x2"], rec["y2"] = b[:, 2], b[:, 3]
+        rec["score"] = np.asarray(scores)[keep]
+        rec["cls"] = np.asarray(classes)[keep]
+        return struct.pack("<I", len(rec)) + rec.tobytes()
+
+    return execute

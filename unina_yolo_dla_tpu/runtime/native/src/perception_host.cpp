@@ -1,0 +1,199 @@
+// perception_host — native streaming-inference daemon.
+//
+// The ``perception_node.cpp`` equivalent (reference: ROS 2 lifecycle node,
+// 815 LoC) rebuilt for the TPU stack:
+//
+//   frames arrive in a zero-copy /dev/shm ring (GpuBufferPtr analogue) ->
+//   lifecycle configure (load AOT artifact, validate dims, warm-compile) ->
+//   activate -> poll loop: newest-frame drop policy, per-frame guards,
+//   fused on-chip inference via the executor, ~1 KB packed detections to
+//   the output shm block -> p50/p99 latency histogram on shutdown.
+//
+// Usage:
+//   perception_host --artifact DIR --ring /dev/shm/unina_frames
+//                   --out /dev/shm/unina_dets [--input 640] [--classes 4]
+//                   [--max-frames N]
+#include <fcntl.h>
+#include <signal.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <chrono>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+#include "executor_py.h"
+#include "frame_ring.hpp"
+#include "latency.hpp"
+#include "lifecycle.hpp"
+
+namespace {
+
+volatile sig_atomic_t g_stop = 0;
+void handle_sigint(int) { g_stop = 1; }
+
+void* map_file(const char* path, size_t* out_len, bool create, size_t len) {
+  int flags = create ? (O_RDWR | O_CREAT) : O_RDWR;
+  int fd = ::open(path, flags, 0666);
+  if (fd < 0) {
+    std::fprintf(stderr, "FATAL: cannot open %s\n", path);
+    return nullptr;
+  }
+  if (create && ::ftruncate(fd, static_cast<off_t>(len)) != 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  struct stat st {};
+  ::fstat(fd, &st);
+  *out_len = static_cast<size_t>(st.st_size);
+  void* mem = ::mmap(nullptr, *out_len, PROT_READ | PROT_WRITE, MAP_SHARED,
+                     fd, 0);
+  ::close(fd);
+  return mem == MAP_FAILED ? nullptr : mem;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string artifact, ring_path, out_path;
+  int input_size = 640, num_classes = 4;
+  long max_frames = -1;
+
+  for (int i = 1; i < argc - 1; ++i) {
+    std::string a = argv[i];
+    if (a == "--artifact") artifact = argv[++i];
+    else if (a == "--ring") ring_path = argv[++i];
+    else if (a == "--out") out_path = argv[++i];
+    else if (a == "--input") input_size = std::atoi(argv[++i]);
+    else if (a == "--classes") num_classes = std::atoi(argv[++i]);
+    else if (a == "--max-frames") max_frames = std::atol(argv[++i]);
+  }
+  if (artifact.empty() || ring_path.empty() || out_path.empty()) {
+    std::fprintf(stderr,
+                 "usage: perception_host --artifact DIR --ring SHM --out SHM"
+                 " [--input N] [--classes N] [--max-frames N]\n");
+    return 2;
+  }
+
+  ::signal(SIGINT, handle_sigint);
+  ::signal(SIGTERM, handle_sigint);
+
+  // --- map the frame ring (producer creates it; wait for magic) ---
+  size_t ring_len = 0;
+  unina::RingHeader* ring = nullptr;
+  for (int tries = 0; tries < 600 && !g_stop; ++tries) {
+    ring = static_cast<unina::RingHeader*>(
+        map_file(ring_path.c_str(), &ring_len, false, 0));
+    if (ring && ring_len >= sizeof(unina::RingHeader) &&
+        ring->magic == unina::kRingMagic)
+      break;
+    if (ring) ::munmap(ring, ring_len);
+    ring = nullptr;
+    ::usleep(100000);
+  }
+  if (!ring) {
+    std::fprintf(stderr, "FATAL: frame ring %s not ready\n",
+                 ring_path.c_str());
+    return 1;
+  }
+
+  size_t out_len = 0;
+  auto* out = static_cast<unina::DetOutHeader*>(map_file(
+      out_path.c_str(), &out_len, true, unina::detout_total_bytes()));
+  if (!out) {
+    std::fprintf(stderr, "FATAL: cannot map %s\n", out_path.c_str());
+    return 1;
+  }
+  out->magic = unina::kRingMagic;
+  out->result_seq.store(0, std::memory_order_relaxed);
+  out->count = 0;
+  out->latency_ms = 0.0;
+  auto* out_dets = reinterpret_cast<unina::Detection*>(
+      reinterpret_cast<uint8_t*>(out) + sizeof(unina::DetOutHeader));
+
+  // --- lifecycle ---
+  unina::Lifecycle lc;
+  unina::PyExecutor* exec = nullptr;
+  lc.on_configure([&] {
+    // engine-vs-config validation happens inside (aot.validate_artifact_
+    // shapes parity with perception_node.cpp:440-457) + warm compile
+    exec = new unina::PyExecutor(artifact, input_size, num_classes);
+    std::fprintf(stderr, "[perception_host] configured (artifact=%s)\n",
+                 artifact.c_str());
+  });
+  lc.on_cleanup([&] {
+    delete exec;
+    exec = nullptr;
+  });
+
+  try {
+    lc.configure();
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "FATAL: configure failed: %s\n", e.what());
+    return 1;
+  }
+  lc.activate();
+  std::fprintf(stderr, "[perception_host] active\n");
+
+  unina::LatencyHistogram hist;
+  uint64_t last_seq = 0, total_dropped = 0, processed = 0;
+  const uint32_t w = ring->width, h = ring->height, ch = ring->channels;
+
+  while (!g_stop) {
+    uint64_t seq = 0, ts = 0, dropped = 0;
+    const uint8_t* frame =
+        unina::ring_poll_latest(ring, last_seq, &seq, &ts, &dropped);
+    if (!frame) {
+      // drain-then-exit: only stop once no unseen frame remains
+      if (ring->shutdown.load(std::memory_order_acquire)) break;
+      ::usleep(200);
+      continue;
+    }
+    last_seq = seq;
+    total_dropped += dropped;
+
+    // per-frame guard: geometry must match the configured artifact
+    if (static_cast<int>(w) != input_size && ch == 3) {
+      continue;  // drop, don't crash (perception_node.cpp:588-596 policy)
+    }
+
+    auto t0 = std::chrono::steady_clock::now();
+    std::vector<unina::Detection> dets;
+    try {
+      dets = exec->infer(frame, w, h, ch);
+    } catch (const std::exception& e) {
+      std::fprintf(stderr, "WARNING: inference failed: %s\n", e.what());
+      continue;
+    }
+    double ms = std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    hist.record(ms);
+    ++processed;
+
+    uint32_t n = dets.size() > unina::kMaxDetections
+                     ? unina::kMaxDetections
+                     : static_cast<uint32_t>(dets.size());
+    std::memcpy(out_dets, dets.data(), n * sizeof(unina::Detection));
+    out->count = n;
+    out->latency_ms = ms;
+    out->result_seq.store(seq, std::memory_order_release);
+
+    if (max_frames > 0 && processed >= static_cast<uint64_t>(max_frames))
+      break;
+  }
+
+  lc.deactivate();
+  lc.cleanup();
+  std::fprintf(stderr,
+               "[perception_host] shutdown: frames=%llu dropped=%llu "
+               "p50=%.3fms p90=%.3fms p99=%.3fms\n",
+               (unsigned long long)processed,
+               (unsigned long long)total_dropped, hist.p50(), hist.p90(),
+               hist.p99());
+  ::munmap(ring, ring_len);
+  ::munmap(out, out_len);
+  return 0;
+}
