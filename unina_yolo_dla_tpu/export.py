@@ -1,0 +1,64 @@
+"""Export CLI: checkpoint -> AOT serving artifact.
+
+The ``export_trt.py`` pipeline equivalent (reference export_trt.py:497-566):
+load weights, bake serving thresholds (conf/IoU/conformal q from
+cp_calibration.json), lower + serialize the fused frame->boxes program,
+run the fallback analyzer (strict by default — export fails if the program
+is not host-callback-free / static-shaped).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from .models.config import ModelConfig
+from .models.detector import init_model
+from .quant.qat import make_qat_model
+from .train.conformal import load_cp_q
+from .runtime.aot import export_serving_artifact
+from .utils.checkpoint import load_msgpack_raw
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="Export an AOT serving artifact (the .engine analogue)")
+    p.add_argument("--weights", required=True, help=".msgpack variables")
+    p.add_argument("--output", default="serving_artifact")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--base-channels", type=int, default=32)
+    p.add_argument("--num-classes", type=int, default=4)
+    p.add_argument("--lite-p2", action="store_true")
+    p.add_argument("--conf", type=float, default=0.5)
+    p.add_argument("--iou", type=float, default=0.45)
+    p.add_argument("--cp-calibration", default=None,
+                   help="cp_calibration.json (bakes q_hat)")
+    p.add_argument("--q", type=float, default=0.1,
+                   help="conformal dilation factor if no calibration file")
+    p.add_argument("--max-detections", type=int, default=1024)
+    p.add_argument("--no-strict", action="store_true",
+                   help="warn instead of fail on fallback-analyzer findings")
+    args = p.parse_args(argv)
+
+    variables = load_msgpack_raw(args.weights)
+    quantized = "quant" in variables
+    cfg = ModelConfig(num_classes=args.num_classes,
+                      base_channels=args.base_channels,
+                      lite_p2=args.lite_p2, input_size=args.imgsz)
+    if quantized:
+        model = make_qat_model(cfg)
+        print(">>> quantized checkpoint detected: exporting int8 QAT model")
+    else:
+        model, _ = init_model(jax.random.key(0), cfg)
+
+    q = (load_cp_q(args.cp_calibration, args.q)
+         if args.cp_calibration else args.q)
+    out = export_serving_artifact(
+        model, variables, args.output,
+        conf_threshold=args.conf, iou_threshold=args.iou, q_factor=q,
+        max_detections=args.max_detections, strict=not args.no_strict)
+    print(f">>> artifact written to {out} (q={q})")
+
+
+if __name__ == "__main__":
+    main()
