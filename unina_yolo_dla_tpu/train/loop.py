@@ -135,6 +135,15 @@ def fit(
             best_fit = fit_val
             best_variables = save_vars
 
+        # append-only metrics log (results.csv analogue, machine-readable)
+        import json as _json
+
+        with open(output_dir / "history.jsonl", "a") as f:
+            f.write(_json.dumps(
+                {k: (float(v) if isinstance(v, (int, float)) else v)
+                 for k, v in epoch_metrics.items()
+                 if not isinstance(v, (list, dict))}) + "\n")
+
     return FitResult(state=state, best_variables=best_variables,
                      metrics=history[-1] if history else {},
                      history=history)
