@@ -62,14 +62,16 @@ def _suppress_kernel(boxes_ref, cols_ref, classes_ref, valid_ref, s_ref, *,
 
 
 def _fixpoint_kernel(s_ref, valid_ref, keep_ref, *, k: int):
-    valid = valid_ref[:]                       # (K, 1)
+    # all state lives as (1, K) row vectors — no sublane<->lane relayout
+    # inside the loop (a (K,1)->(1,K) reshape per iteration hangs Mosaic)
+    valid = valid_ref[:]                       # (1, K)
     s = s_ref[:]                               # (K, K)
 
-    def body(_, keep):
+    def body(_, keep):                         # keep: (1, K)
         hit = jax.lax.dot_general(
-            keep.reshape(1, k), s,
+            keep, s,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(k, 1)
+            preferred_element_type=jnp.float32)
         return jnp.where(hit > 0.5, 0.0, valid)
 
     keep_ref[:] = jax.lax.fori_loop(0, FIXPOINT_ITERS, body, valid)
@@ -122,7 +124,7 @@ def nms_pallas(
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         interpret=interpret,
-    )(sup, valid_f)
-    return keep[:, 0] > 0.5
+    )(sup, valid_f.reshape(1, k))
+    return keep[0, :] > 0.5

@@ -92,10 +92,15 @@ def resize_bilinear_mxu(img: jnp.ndarray, dst_h: int,
     ry = _interp_matrix(dst_h, src_h)                      # (dh, H)
     rx = _interp_matrix(dst_w, src_w)                      # (dw, W)
     x = img.astype(jnp.float32)
+    # HIGHEST precision: the MXU's default bf16 passes would cost ~0.5/255
+    # absolute error on pixel values; full-f32 keeps parity with the
+    # gather-based oracle at negligible cost for this matrix size
     rows = jnp.einsum("dh,hwc->dwc", ry, x,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("ew,dwc->dec", rx, rows,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def preprocess_rgb(
