@@ -1,0 +1,66 @@
+"""Camera-path serving pipeline tests (BGRA camera res -> boxes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unina_yolo_dla_tpu.models import ModelConfig, init_model
+from unina_yolo_dla_tpu.runtime.pipeline import (
+    build_camera_serving_fn,
+    build_serving_fn,
+)
+
+IMG = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg)
+    v = {k: variables[k] for k in ("params", "batch_stats")}
+    return cfg, model, v
+
+
+def test_camera_pipeline_runs_and_is_jittable(setup):
+    cfg, model, v = setup
+    serve = jax.jit(build_camera_serving_fn(
+        model, cfg, camera_height=48, camera_width=64,
+        camera_format="bgra", max_detections=64))
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
+    dets = serve(v, frame)
+    assert dets.boxes.shape == (64, 4)
+    # static-shape result; boxes in model pixel space
+    assert np.isfinite(np.asarray(dets.scores)).all()
+
+
+def test_camera_path_matches_direct_path_when_same_size(setup):
+    """At camera res == model res and RGB input, the camera path must
+    reduce to the direct 640-path (identity resize)."""
+    cfg, model, v = setup
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, (IMG, IMG, 3)).astype(np.uint8)
+
+    direct = build_serving_fn(model, cfg, max_detections=64)
+    cam = build_camera_serving_fn(model, cfg, IMG, IMG,
+                                  camera_format="rgb", max_detections=64)
+    d1 = jax.jit(direct)(v, jnp.asarray(frame))
+    d2 = jax.jit(cam)(v, jnp.asarray(frame))
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d2.valid))
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d2.boxes),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_bgra_alpha_ignored(setup):
+    cfg, model, v = setup
+    rng = np.random.default_rng(2)
+    bgra = rng.integers(0, 256, (40, 40, 4)).astype(np.uint8)
+    bgra2 = bgra.copy()
+    bgra2[..., 3] = 0  # different alpha must not change detections
+    serve = jax.jit(build_camera_serving_fn(model, cfg, 40, 40,
+                                            max_detections=64))
+    d1 = serve(v, jnp.asarray(bgra))
+    d2 = serve(v, jnp.asarray(bgra2))
+    np.testing.assert_array_equal(np.asarray(d1.scores),
+                                  np.asarray(d2.scores))

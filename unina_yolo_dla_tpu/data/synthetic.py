@@ -91,9 +91,13 @@ def generate_image(
     labels: list[tuple[int, float, float, float, float]] = []
     occupied: list[tuple[float, float, float, float]] = []
 
+    # clamp cone size so placement is always feasible at small image sizes
+    max_h = min(cfg.max_height, s // 3)
+    min_h = min(cfg.min_height, max(max_h - 1, 2))
+
     for _ in range(n):
         cls = int(rng.integers(0, 4))
-        h = float(rng.uniform(cfg.min_height, cfg.max_height))
+        h = float(rng.uniform(min_h, max_h))
         w = h * (0.85 if cls != 3 else cfg.large_class_scale * 0.6)
         for _attempt in range(20):
             cx = float(rng.uniform(w / 2 + 2, s - w / 2 - 2))

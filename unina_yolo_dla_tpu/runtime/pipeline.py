@@ -22,7 +22,7 @@ from ..models.config import (
 )
 from ..ops.decode import Detections, decode_outputs
 from ..ops.nms import nms, nms_fast
-from ..ops.preprocess import normalize
+from ..ops.preprocess import normalize, resize_bilinear_mxu
 
 
 def build_serving_fn(
@@ -51,5 +51,41 @@ def build_serving_fn(
         if use_greedy_nms:
             return nms(dets, iou_threshold)
         return nms_fast(dets, iou_threshold)
+
+    return serve
+
+
+def build_camera_serving_fn(
+    model,
+    cfg: ModelConfig,
+    camera_height: int,
+    camera_width: int,
+    camera_format: str = "bgra",   # "bgra" | "rgb"
+    conf_threshold: float = DEFAULT_CONF_THRESHOLD,
+    iou_threshold: float = DEFAULT_IOU_THRESHOLD,
+    q_factor: float = DEFAULT_CP_Q,
+    max_detections: int = MAX_DETECTIONS,
+) -> Callable[[Any, jnp.ndarray], Detections]:
+    """Full camera-path pipeline: raw camera-resolution frame on-chip.
+
+    Parity with the reference's fused resize kernel
+    (``resize_bgra_to_rgb_normalize_kernel``, cuda_preprocess.cu:144-204):
+    BGRA/RGB at camera resolution -> bilinear resize (two interpolation
+    MATMULS on the MXU — the TPU-native gather replacement) -> ImageNet
+    normalise -> forward -> decode -> NMS, all one XLA program. Detected
+    boxes are returned in MODEL pixel space; multiply by
+    ``camera_{width,height} / cfg.input_size`` to map back.
+    """
+    s = cfg.input_size
+
+    def serve(variables, frame: jnp.ndarray) -> Detections:
+        if camera_format == "bgra":
+            frame = frame[..., 2::-1]  # BGRA -> RGB (drop alpha)
+        resized = resize_bilinear_mxu(frame.astype(jnp.float32), s, s)
+        x = normalize(resized / 255.0)[None]
+        outputs = model.apply(variables, x, train=False)
+        dets = decode_outputs(
+            outputs, cfg.strides, conf_threshold, q_factor, max_detections)
+        return nms(dets, iou_threshold)
 
     return serve

@@ -118,7 +118,11 @@ def make_train_step(
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
         if tc.use_ema:
-            d = tc.ema_decay
+            # warmup ramp (Ultralytics ModelEMA convention): effective
+            # decay ~0 early so short runs track live params, asymptoting
+            # to ema_decay
+            step_f = state.step.astype(jnp.float32) + 1.0
+            d = tc.ema_decay * (1.0 - jnp.exp(-step_f / 2000.0))
             new_ema = jax.tree.map(
                 lambda e, p: e * d + p * (1.0 - d),
                 state.ema_params, new_params)
