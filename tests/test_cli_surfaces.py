@@ -93,3 +93,21 @@ def test_serve_cli_batch_mode(checkpoint, tmp_path):
                 rng.integers(0, 255, (IMG, IMG, 3)).astype(np.uint8))
 
     serve_main(["--config", str(cfg_file), "--images", str(img_dir)])
+
+
+def test_export_cli_fold_bn(checkpoint, tmp_path):
+    from unina_yolo_dla_tpu.export import main
+
+    out = tmp_path / "artifact_folded"
+    main(["--weights", str(checkpoint), "--output", str(out),
+          "--imgsz", str(IMG), "--base-channels", "16",
+          "--fold-bn", "--max-detections", "64"])
+    # artifact serves
+    from unina_yolo_dla_tpu.runtime.aot import ServingArtifact
+
+    art = ServingArtifact(out)
+    frame = np.zeros((IMG, IMG, 3), np.uint8)
+    boxes, scores, classes, valid = jax.device_get(art(frame))
+    assert boxes.shape == (64, 4)
+    # no batch_stats in the folded artifact
+    assert "batch_stats" not in art.variables

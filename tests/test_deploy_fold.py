@@ -1,0 +1,76 @@
+"""BatchNorm-folding deploy transform tests."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unina_yolo_dla_tpu.models import ModelConfig, init_model
+from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+from unina_yolo_dla_tpu.quant.deploy import fold_batchnorm
+
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def trained_like_setup():
+    """Model with non-trivial batch stats (a few train steps' worth)."""
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg)
+    # push data through in train mode so means/vars move off init
+    x = jax.random.normal(jax.random.key(1), (4, IMG, IMG, 3)) * 2 + 0.5
+    for _ in range(3):
+        _, upd = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    return cfg, model, variables
+
+
+def test_fold_matches_eval_forward(trained_like_setup):
+    cfg, model, variables = trained_like_setup
+    deploy_cfg = dataclasses.replace(cfg, deploy=True)
+    deploy_model = UninaYoloDla(deploy_cfg)
+    deploy_vars = fold_batchnorm(variables)
+
+    x = jax.random.normal(jax.random.key(2), (1, IMG, IMG, 3))
+    ref = model.apply({k: variables[k] for k in ("params", "batch_stats")},
+                      x, train=False)
+    dep = deploy_model.apply(deploy_vars, x, train=False)
+    for (rc, rr), (dc, dr) in zip(ref, dep):
+        np.testing.assert_allclose(np.asarray(rc), np.asarray(dc),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rr), np.asarray(dr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fold_tree_structure(trained_like_setup):
+    cfg, model, variables = trained_like_setup
+    deploy_vars = fold_batchnorm(variables)
+    assert "batch_stats" not in deploy_vars
+    stem = deploy_vars["params"]["backbone"]["stem"]
+    assert set(stem) == {"conv"}
+    assert set(stem["conv"]) == {"kernel", "bias"}
+    # structure matches the deploy model's own init
+    deploy_model = UninaYoloDla(dataclasses.replace(cfg, deploy=True))
+    ref_init = deploy_model.init(
+        jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+    ref_paths = {tuple(str(getattr(k, "key", k)) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(
+                     ref_init["params"])[0]}
+    got_paths = {tuple(str(getattr(k, "key", k)) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(
+                     deploy_vars["params"])[0]}
+    assert ref_paths == got_paths
+
+
+def test_fold_preserves_param_shapes_for_head_preds(trained_like_setup):
+    cfg, model, variables = trained_like_setup
+    deploy_vars = fold_batchnorm(variables)
+    # prediction convs (no BN) pass through untouched
+    a = np.asarray(
+        variables["params"]["head_p3"]["cls_pred"]["kernel"])
+    b = np.asarray(
+        deploy_vars["params"]["head_p3"]["cls_pred"]["kernel"])
+    np.testing.assert_array_equal(a, b)

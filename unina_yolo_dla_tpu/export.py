@@ -12,8 +12,11 @@ import argparse
 
 import jax
 
+import dataclasses
+
 from .models.config import ModelConfig
-from .models.detector import init_model
+from .models.detector import UninaYoloDla, init_model
+from .quant.deploy import fold_batchnorm
 from .quant.qat import make_qat_model
 from .train.conformal import load_cp_q
 from .runtime.aot import export_serving_artifact
@@ -38,6 +41,10 @@ def main(argv=None) -> None:
     p.add_argument("--max-detections", type=int, default=1024)
     p.add_argument("--no-strict", action="store_true",
                    help="warn instead of fail on fallback-analyzer findings")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold BatchNorm into conv weights (TensorRT-style "
+                        "graph optimisation; drops batch_stats from the "
+                        "artifact)")
     args = p.parse_args(argv)
 
     variables = load_msgpack_raw(args.weights)
@@ -45,11 +52,16 @@ def main(argv=None) -> None:
     cfg = ModelConfig(num_classes=args.num_classes,
                       base_channels=args.base_channels,
                       lite_p2=args.lite_p2, input_size=args.imgsz)
+    if args.fold_bn:
+        variables = fold_batchnorm(variables)
+        cfg = dataclasses.replace(cfg, deploy=True)
+        print(">>> BatchNorm folded into conv weights")
     if quantized:
         model = make_qat_model(cfg)
         print(">>> quantized checkpoint detected: exporting int8 QAT model")
     else:
-        model, _ = init_model(jax.random.key(0), cfg)
+        model = (UninaYoloDla(cfg) if args.fold_bn
+                 else init_model(jax.random.key(0), cfg)[0])
 
     q = (load_cp_q(args.cp_calibration, args.q)
          if args.cp_calibration else args.q)

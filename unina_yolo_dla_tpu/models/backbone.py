@@ -25,7 +25,8 @@ class Backbone(nn.Module):
         c1, c2, c3, c4, _c5 = cfg.widths
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
                                   param_dtype=cfg.param_dtype,
-                                  quant=cfg.quant)
+                                  quant=cfg.quant,
+                                  deploy=cfg.deploy)
 
         # Stem: (B,640,640,3) -> (B,320,320,c1)
         x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)

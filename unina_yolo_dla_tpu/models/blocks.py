@@ -40,6 +40,7 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quant: QuantSpec | None = None
+    deploy: bool = False   # BN pre-folded into conv (quant.deploy)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -49,20 +50,21 @@ class ConvBlock(nn.Module):
             strides=(self.strides, self.strides),
             padding=self.kernel_size // 2,
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.deploy,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             quant=self.quant,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,   # torch BatchNorm2d default (momentum=0.1) equivalent
-            epsilon=1e-5,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="bn",
-        )(x)
+        if not self.deploy:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,  # torch BatchNorm2d default (momentum=0.1) eqv
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="bn",
+            )(x)
         return nn.relu(x)
 
 
@@ -79,12 +81,13 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quant: QuantSpec | None = None
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  quant=self.quant)
+                  quant=self.quant, deploy=self.deploy)
         out = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         out = ConvBlock(self.features, 3, name="cv2", **kw)(out, train)
         if self.shortcut and x.shape[-1] == self.features:
@@ -108,12 +111,13 @@ class C3k2(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quant: QuantSpec | None = None
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  quant=self.quant)
+                  quant=self.quant, deploy=self.deploy)
         path1 = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         for i in range(self.n):
             path1 = Bottleneck(hidden, self.shortcut, expansion=1.0,
@@ -132,13 +136,14 @@ class SPPF(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quant: QuantSpec | None = None
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
         hidden = in_ch // 2
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  quant=self.quant)
+                  quant=self.quant, deploy=self.deploy)
         x = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         k = self.pool_size
         pad = k // 2

@@ -41,6 +41,9 @@ class ModelConfig:
     num_anchors: int = 1
     # int8 QAT / calibration behaviour; None == FP model (quant='off').
     quant: QuantSpec | None = None
+    # deploy mode: BatchNorm pre-folded into conv weights+bias
+    # (quant.deploy.fold_batchnorm produces the matching variables).
+    deploy: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

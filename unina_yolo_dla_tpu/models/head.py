@@ -37,19 +37,22 @@ class DetectionHead(nn.Module):
         hidden = x.shape[-1]
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
                                   param_dtype=cfg.param_dtype,
-                                  quant=cfg.quant)
+                                  quant=cfg.quant,
+                                  deploy=cfg.deploy)
+        # prediction convs have no BN, so no deploy transform applies
+        conv_kw = {k: v for k, v in kw.items() if k != "deploy"}
 
         cls = ConvBlock(hidden, 3, name="cls_conv1", **kw)(x, train)
         cls = ConvBlock(hidden, 3, name="cls_conv2", **kw)(cls, train)
         cls = QuantConv(
             cfg.num_classes * cfg.num_anchors, (1, 1), use_bias=True,
             bias_init=nn.initializers.constant(CLS_BIAS_INIT),
-            name="cls_pred", **kw)(cls)
+            name="cls_pred", **conv_kw)(cls)
 
         reg = ConvBlock(hidden, 3, name="reg_conv1", **kw)(x, train)
         reg = ConvBlock(hidden, 3, name="reg_conv2", **kw)(reg, train)
         reg = QuantConv(4 * cfg.num_anchors, (1, 1), use_bias=True,
-                        name="reg_pred", **kw)(reg)
+                        name="reg_pred", **conv_kw)(reg)
 
         # Logits in float32 for numerically stable loss/decode.
         return cls.astype(jnp.float32), reg.astype(jnp.float32)

@@ -23,7 +23,8 @@ class Neck(nn.Module):
         _c1, c2, c3, c4, _c5 = cfg.widths
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
                                   param_dtype=cfg.param_dtype,
-                                  quant=cfg.quant)
+                                  quant=cfg.quant,
+                                  deploy=cfg.deploy)
 
         p2_in, p3_in, p4_in, p4_sppf = features
 

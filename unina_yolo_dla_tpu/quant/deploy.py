@@ -1,0 +1,85 @@
+"""Deploy-time graph transformations: BatchNorm folding.
+
+TensorRT folds BN into conv weights when building the engine; XLA cannot
+(params are runtime inputs to the jitted program), so we do it as a
+pytree transformation before export:
+
+  W'[..., o] = W[..., o] * gamma[o] / sqrt(var[o] + eps)
+  b'[o]      = beta[o] - gamma[o] * mean[o] / sqrt(var[o] + eps)
+
+The deploy model (``ModelConfig(deploy=True)``) is the SAME module tree
+with every ConvBlock's BatchNorm removed and a conv bias added; this
+function maps trained variables onto that tree. Removes ~60 elementwise
+BN ops from the serving graph and drops the batch_stats collection from
+the artifact.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _is_convblock(params_node: dict, stats_node: dict | None) -> bool:
+    return (isinstance(params_node, dict) and "conv" in params_node
+            and "bn" in params_node and stats_node is not None
+            and "bn" in stats_node)
+
+
+def fold_batchnorm(
+    variables: dict[str, Any],
+    eps: float = 1e-5,
+) -> dict[str, Any]:
+    """Training variables {'params', 'batch_stats', ['quant']} ->
+    deploy variables {'params', ['quant']} with BN folded into convs.
+
+    The returned params tree matches ``ModelConfig(deploy=True)`` init:
+    every ConvBlock is {'conv': {'kernel', 'bias'}} with no 'bn'.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def fold(p_node: Any, s_node: Any) -> Any:
+        if not isinstance(p_node, dict):
+            return p_node
+        if _is_convblock(p_node, s_node):
+            kernel = np.asarray(p_node["conv"]["kernel"], np.float32)
+            gamma = np.asarray(p_node["bn"]["scale"], np.float32)
+            beta = np.asarray(p_node["bn"]["bias"], np.float32)
+            mean = np.asarray(s_node["bn"]["mean"], np.float32)
+            var = np.asarray(s_node["bn"]["var"], np.float32)
+            inv = gamma / np.sqrt(var + eps)
+            out = {"conv": {
+                "kernel": kernel * inv,            # broadcast over out dim
+                "bias": beta - mean * inv,
+            }}
+            # preserve any other submodules living beside conv/bn
+            for k, v in p_node.items():
+                if k not in ("conv", "bn"):
+                    out[k] = fold(v, (s_node or {}).get(k))
+            return out
+        return {k: fold(v, (s_node or {}).get(k) if isinstance(s_node, dict)
+                        else None)
+                for k, v in p_node.items()}
+
+    out = {"params": fold(params, stats)}
+    if "quant" in variables:
+        out["quant"] = variables["quant"]
+    return out
+
+
+def folded_equivalence_report(
+    model_train, model_deploy, variables, deploy_variables, x,
+) -> float:
+    """Max |train-mode-eval output - deploy output| — sanity helper."""
+    train_out = model_train.apply(
+        {k: variables[k] for k in ("params", "batch_stats")
+         if k in variables}, x, train=False)
+    dep_out = model_deploy.apply(deploy_variables, x, train=False)
+    diffs = [
+        float(abs(np.asarray(a) - np.asarray(b)).max())
+        for (a1, a2), (b1, b2) in zip(train_out, dep_out)
+        for a, b in ((a1, b1), (a2, b2))
+    ]
+    return max(diffs)
