@@ -18,8 +18,6 @@ from typing import Callable, Protocol, Sequence
 
 import numpy as np
 
-from ..models.config import DEFAULT_CLASS_NAMES
-
 DEFAULT_PROMPTS = ("yellow traffic cone", "blue traffic cone",
                    "orange traffic cone", "large orange traffic cone")
 

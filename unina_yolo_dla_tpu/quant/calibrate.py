@@ -27,7 +27,6 @@ from typing import Any, Callable, Iterable
 import jax
 import numpy as np
 
-from .fake_quant import HIST_BINS
 
 
 def _run_calib_pass(
