@@ -16,7 +16,8 @@ import dataclasses
 
 from .models.config import ModelConfig
 from .models.detector import UninaYoloDla, init_model
-from .quant.deploy import fold_batchnorm
+from .quant.deploy import fold_batchnorm, quantize_weights_int8
+from .quant.fake_quant import QuantSpec
 from .quant.qat import make_qat_model
 from .train.conformal import load_cp_q
 from .runtime.aot import export_serving_artifact
@@ -45,6 +46,10 @@ def main(argv=None) -> None:
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
                         "artifact)")
+    p.add_argument("--int8", action="store_true",
+                   help="export the TRUE int8 engine (int8 weights + int8 "
+                        "activations -> int32 MXU accumulation); requires a "
+                        "calibrated (QAT) checkpoint and implies --fold-bn")
     args = p.parse_args(argv)
 
     variables = load_msgpack_raw(args.weights)
@@ -52,13 +57,24 @@ def main(argv=None) -> None:
     cfg = ModelConfig(num_classes=args.num_classes,
                       base_channels=args.base_channels,
                       lite_p2=args.lite_p2, input_size=args.imgsz)
-    if args.fold_bn:
+    if args.int8 and not quantized:
+        raise SystemExit("--int8 requires a calibrated checkpoint "
+                         "(quant collection with activation amax; run "
+                         "phase-2 QAT or prepare_qat_variables first)")
+    if args.fold_bn or args.int8:
         variables = fold_batchnorm(variables)
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
-    if quantized:
+    if args.int8:
+        spec = QuantSpec(mode="int8")
+        variables = quantize_weights_int8(variables, spec)
+        cfg = dataclasses.replace(cfg, quant=spec)
+        model = UninaYoloDla(cfg)
+        print(">>> int8 engine: weights quantised, integer conv path on")
+    elif quantized:
         model = make_qat_model(cfg)
-        print(">>> quantized checkpoint detected: exporting int8 QAT model")
+        print(">>> quantized checkpoint detected: exporting int8-QAT "
+              "(fake-quant) model")
     else:
         model = (UninaYoloDla(cfg) if args.fold_bn
                  else init_model(jax.random.key(0), cfg)[0])

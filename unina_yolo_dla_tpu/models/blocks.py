@@ -91,7 +91,11 @@ class Bottleneck(nn.Module):
         out = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         out = ConvBlock(self.features, 3, name="cv2", **kw)(out, train)
         if self.shortcut and x.shape[-1] == self.features:
-            if self.quant is not None and self.quant.mode != "off":
+            # residual quantizer for QAT/calibration (int8-add scale
+            # matching, qat.py:281-294); in the true-int8 engine the add
+            # itself stays float on the VPU, so no quantizer there
+            if self.quant is not None and self.quant.mode in (
+                    "calib_max", "calib_hist", "quantize"):
                 x = ActQuant(self.quant, name="residual_q")(x)
             out = x + out
         return out

@@ -68,6 +68,49 @@ def fold_batchnorm(
     return out
 
 
+def quantize_weights_int8(
+    deploy_variables: dict[str, Any],
+    spec,
+    qmax: float = 127.0,
+) -> dict[str, Any]:
+    """BN-folded deploy variables -> int8-engine variables.
+
+    Every conv kernel on a non-excluded path becomes {kernel: int8,
+    w_scale: f32 per-tensor}; excluded layers (stem / P2 head /
+    stage1_conv, train.py:779-781 parity) keep float kernels. The result
+    loads into ``ModelConfig(deploy=True).with_quant("int8")`` — the true
+    integer inference engine (int8 x int8 -> int32 MXU accumulation),
+    completing the analogy to the reference's INT8 DLA engine rather than
+    stopping at fake-quant simulation.
+
+    ``spec``: the QuantSpec used at calibration (exclusion list must match
+    the activation amax collection in deploy_variables['quant']).
+    """
+
+    def walk(node: Any, path: str) -> Any:
+        if not isinstance(node, dict):
+            return node
+        if "kernel" in node and not spec.excluded(path):
+            kernel = np.asarray(node["kernel"], np.float32)
+            amax = float(np.abs(kernel).max())
+            w_scale = max(amax, 1e-9) / qmax
+            out = {
+                "kernel": np.clip(np.round(kernel / w_scale), -qmax, qmax
+                                  ).astype(np.int8),
+                "w_scale": np.float32(w_scale),
+            }
+            for k, v in node.items():
+                if k != "kernel":
+                    out[k] = v
+            return out
+        return {k: walk(v, f"{path}/{k}" if path else k)
+                for k, v in node.items()}
+
+    out = dict(deploy_variables)
+    out["params"] = walk(deploy_variables["params"], "")
+    return out
+
+
 def folded_equivalence_report(
     model_train, model_deploy, variables, deploy_variables, x,
 ) -> float:

@@ -40,7 +40,10 @@ class QuantSpec:
 
     mode: "off" (FP path), "calib_max" (pass-through, collect running amax),
     "calib_hist" (pass-through, fill |x| histograms over [0, amax]),
-    "quantize" (fake-quant with calibrated amax).
+    "quantize" (fake-quant with calibrated amax — QAT / accuracy
+    simulation), "int8" (TRUE integer compute: int8 weights + int8
+    activations -> int32 MXU accumulation; requires weights pre-quantised
+    by quant.deploy.quantize_weights_int8).
     """
 
     mode: str = "off"
@@ -107,7 +110,16 @@ class ActQuant(nn.Module):
                 1.0)
             return x
 
-        # quantize
+        if spec.mode == "int8":
+            # true integer quantisation: returns (int8 tensor, f32 scale)
+            amax = self.variable("quant", "amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            scale = jnp.maximum(amax.value, 1e-9) / spec.qmax
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                         -spec.qmax, spec.qmax).astype(jnp.int8)
+            return q, scale
+
+        # quantize (QAT fake-quant)
         amax = self.variable("quant", "amax",
                              lambda: jnp.zeros((), jnp.float32))
         return fake_quant_tensor(x, amax.value, spec.qmax)
@@ -144,28 +156,52 @@ class QuantConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         in_ch = x.shape[-1] // self.feature_group_count
-        kernel = self.param("kernel", self.kernel_init,
-                            (kh, kw, in_ch, self.features), self.param_dtype)
+        kshape = (kh, kw, in_ch, self.features)
 
         spec = self.quant or QuantSpec()
         path = "/".join(self.scope.path)
-        if spec.mode != "off" and not spec.excluded(path):
-            x = ActQuant(spec, name="in_q")(x)
-            kernel = quant_weight(kernel, spec, path)
+        quantized = spec.mode != "off" and not spec.excluded(path)
+        int8_path = quantized and spec.mode == "int8"
 
-        x = x.astype(self.dtype)
-        kernel = kernel.astype(self.dtype)
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
-        y = jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=self.strides,
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-            preferred_element_type=self.dtype,
-        )
+
+        def conv(lhs, rhs, acc_dtype):
+            return jax.lax.conv_general_dilated(
+                lhs, rhs,
+                window_strides=self.strides,
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.feature_group_count,
+                preferred_element_type=acc_dtype,
+            )
+
+        if int8_path:
+            # TRUE int8 engine path: int8 x int8 -> int32 on the MXU,
+            # single rescale epilogue. Weights arrive pre-quantised
+            # (quant.deploy.quantize_weights_int8): int8 kernel + f32
+            # per-tensor scale.
+            kernel_q = self.param("kernel", nn.initializers.zeros_init(),
+                                  kshape, jnp.int8)
+            w_scale = self.param("w_scale", nn.initializers.ones_init(),
+                                 (), jnp.float32)
+            x_q, x_scale = ActQuant(spec, name="in_q")(x)
+            y = conv(x_q, kernel_q, jnp.int32)
+            y = y.astype(jnp.float32) * (x_scale * w_scale)
+            if self.use_bias:
+                bias = self.param("bias", self.bias_init, (self.features,),
+                                  jnp.float32)
+                y = y + bias
+            return y.astype(self.dtype)
+
+        kernel = self.param("kernel", self.kernel_init, kshape,
+                            self.param_dtype)
+        if quantized:
+            x = ActQuant(spec, name="in_q")(x)
+            kernel = quant_weight(kernel, spec, path)
+
+        y = conv(x.astype(self.dtype), kernel.astype(self.dtype), self.dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,),
                               self.param_dtype)
