@@ -65,6 +65,11 @@ def entropy_amax(hist: np.ndarray, upper: float,
     """
     nbins = len(hist)
     hist = hist.astype(np.float64)
+    # drop the zero bin: post-ReLU activations put most of their mass at
+    # exactly 0, which otherwise drags the KL optimum to a catastrophically
+    # low clip (pytorch-quantization's skip_zeros behaviour)
+    hist = hist.copy()
+    hist[0] = 0.0
     if hist.sum() <= 0 or upper <= 0:
         return float(upper)
 
@@ -135,7 +140,12 @@ def select_amax(
         elif method == "percentile":
             amax = percentile_amax(hist, upper, percentile)
         else:
-            amax = entropy_amax(hist, upper)
+            # KL optimum, floored at the p99.9 mass point: guards against
+            # pathological over-clipping on spiky/multimodal activation
+            # distributions, where ~60 cascaded hard clips compound into
+            # large accuracy loss
+            amax = max(entropy_amax(hist, upper),
+                       percentile_amax(hist, upper, 99.9))
         node = out
         for k in parent:
             node = node.setdefault(k, {})
@@ -174,7 +184,10 @@ def calibrate(
 
     # pass 1: running amax
     calib1 = _run_calib_pass(apply(m_max), base, batches_fn(), max_batches)
-    # pass 2: histogram over [0, amax]
+    if method == "max":
+        return select_amax(calib1, method="max")
+
+    # pass 2: histogram over [0, amax] (entropy / percentile only)
     v2 = dict(base)
     v2["quant_calib"] = calib1
     calib2 = _run_calib_pass(apply(m_hist), v2, batches_fn(), max_batches)

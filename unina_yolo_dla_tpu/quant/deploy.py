@@ -91,13 +91,16 @@ def quantize_weights_int8(
         if not isinstance(node, dict):
             return node
         if "kernel" in node and not spec.excluded(path):
-            kernel = np.asarray(node["kernel"], np.float32)
-            amax = float(np.abs(kernel).max())
-            w_scale = max(amax, 1e-9) / qmax
+            kernel = np.asarray(node["kernel"], np.float32)  # HWIO
+            if getattr(spec, "per_channel_weights", True):
+                amax = np.abs(kernel).max(axis=(0, 1, 2))    # (O,)
+            else:
+                amax = np.full(kernel.shape[-1], np.abs(kernel).max())
+            w_scale = np.maximum(amax, 1e-9) / qmax          # (O,)
             out = {
                 "kernel": np.clip(np.round(kernel / w_scale), -qmax, qmax
                                   ).astype(np.int8),
-                "w_scale": np.float32(w_scale),
+                "w_scale": w_scale.astype(np.float32),
             }
             for k, v in node.items():
                 if k != "kernel":

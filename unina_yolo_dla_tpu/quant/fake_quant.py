@@ -49,6 +49,10 @@ class QuantSpec:
     mode: str = "off"
     num_bits: int = 8
     exclude: tuple[str, ...] = DEFAULT_EXCLUDE
+    # weight quantisation granularity: per output channel (the
+    # pytorch-quantization QuantConv2d default the reference inherits,
+    # axis=0 in OIHW == last axis of our HWIO kernels) or per-tensor
+    per_channel_weights: bool = True
 
     @property
     def qmax(self) -> float:
@@ -103,6 +107,13 @@ class ActQuant(nn.Module):
             hist = self.variable("quant_calib", "hist",
                                  lambda: jnp.zeros((HIST_BINS,), jnp.float32))
             absx = jnp.abs(x.astype(jnp.float32)).reshape(-1)
+            # strided subsample caps the scatter-add cost on huge
+            # activations (calibration is statistical; TensorRT likewise
+            # samples batches, not every element of the stream)
+            n = absx.shape[0]
+            max_elems = 1 << 21
+            if n > max_elems:
+                absx = absx[:: (n + max_elems - 1) // max_elems]
             upper = jnp.maximum(running.value, 1e-9)
             idx = jnp.clip((absx / upper * HIST_BINS).astype(jnp.int32),
                            0, HIST_BINS - 1)
@@ -126,10 +137,18 @@ class ActQuant(nn.Module):
 
 
 def quant_weight(w: jnp.ndarray, spec: QuantSpec, path: str) -> jnp.ndarray:
-    """Per-tensor max-calibrated weight fake-quant (inline, stateless)."""
+    """Max-calibrated weight fake-quant (inline, stateless).
+
+    Per-output-channel by default (pytorch-quantization parity for conv
+    weights); per-tensor optional. Kernel layout HWIO -> channel axis -1.
+    """
     if spec.mode != "quantize" or spec.excluded(path):
         return w
-    amax = jnp.max(jnp.abs(w)).astype(jnp.float32)
+    if spec.per_channel_weights:
+        amax = jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True
+                       ).astype(jnp.float32)
+    else:
+        amax = jnp.max(jnp.abs(w)).astype(jnp.float32)
     return fake_quant_tensor(w, amax, spec.qmax)
 
 
@@ -184,8 +203,9 @@ class QuantConv(nn.Module):
             # per-tensor scale.
             kernel_q = self.param("kernel", nn.initializers.zeros_init(),
                                   kshape, jnp.int8)
+            # per-output-channel weight scales (broadcast over NHWC's C)
             w_scale = self.param("w_scale", nn.initializers.ones_init(),
-                                 (), jnp.float32)
+                                 (self.features,), jnp.float32)
             x_q, x_scale = ActQuant(spec, name="in_q")(x)
             y = conv(x_q, kernel_q, jnp.int32)
             y = y.astype(jnp.float32) * (x_scale * w_scale)

@@ -58,7 +58,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--calibrate-cp", action="store_true")
     p.add_argument("--cp-alpha", type=float, default=0.10)
     p.add_argument("--calib-batches", type=int, default=30)
-    p.add_argument("--calib-method", default="entropy",
+    p.add_argument("--calib-method", default="max",
                    choices=("entropy", "max", "percentile"))
     p.add_argument("--max-boxes", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
