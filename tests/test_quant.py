@@ -162,3 +162,33 @@ def test_qat_train_step_runs_and_learns(fp32_setup):
     assert np.isfinite(losses).all()
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), (
         f"QAT fine-tune did not reduce loss: {losses}")
+
+
+def test_entropy_amax_skips_zero_spike():
+    """Post-ReLU zero-mass must not drag the KL clip down (regression:
+    a trained detector collapsed to mAP 0 before the zero-bin skip)."""
+    rng = np.random.default_rng(0)
+    bulk = np.abs(rng.normal(0, 1.0, 390_000))
+    vals = np.concatenate([np.zeros(600_000), bulk,
+                           rng.uniform(5, 12, 10_000)])
+    upper = vals.max()
+    hist, _ = np.histogram(vals, bins=HIST_BINS, range=(0, upper))
+    amax = entropy_amax(hist.astype(np.float64), upper)
+    assert amax > 2.5, f"zero spike dragged KL clip to {amax}"
+
+
+def test_per_channel_weight_quant_is_default():
+    from unina_yolo_dla_tpu.quant.fake_quant import quant_weight
+
+    spec = QuantSpec(mode="quantize", exclude=())
+    w = np.zeros((1, 1, 1, 2), np.float32)
+    w[..., 0] = 0.01   # tiny channel
+    w[..., 1] = 10.0   # huge channel
+    q = np.asarray(quant_weight(jnp.asarray(w), spec, "any/path"))
+    # per-channel: the tiny channel survives quantisation exactly-ish
+    np.testing.assert_allclose(q[..., 0], 0.01, rtol=1e-2)
+    # per-tensor would have crushed it to 0 (step = 10/127 ≈ 0.079)
+    spec_pt = QuantSpec(mode="quantize", exclude=(),
+                        per_channel_weights=False)
+    q_pt = np.asarray(quant_weight(jnp.asarray(w), spec_pt, "any/path"))
+    assert q_pt[..., 0] == 0.0

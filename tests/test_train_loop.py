@@ -59,6 +59,8 @@ def test_train_step_reduces_loss(tiny_setup):
 
 
 def test_ema_params_track_params(tiny_setup):
+    """EMA uses a warmup ramp: early steps track the live params almost
+    exactly; late steps blend with the configured decay."""
     ds, cfg, model, variables = tiny_setup
     tc = TrainConfig(lr0=0.01, warmup_steps=1, total_steps=10,
                      ema_decay=0.5, use_ema=True)
@@ -67,14 +69,22 @@ def test_ema_params_track_params(tiny_setup):
     step = jax.jit(make_train_step(model, cfg, tx, tc))
     rng = np.random.default_rng(1)
     batch = next(batch_iterator(ds, batch_size=2, rng=rng, steps=1))
+    batch.pop("sample_valid", None)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    state2, _ = step(state, batch)
-    # EMA moved away from init towards new params but is not equal to them
-    p0 = jax.tree.leaves(state.params)[0]
-    p2 = jax.tree.leaves(state2.params)[0]
-    e2 = jax.tree.leaves(state2.ema_params)[0]
-    assert not jnp.allclose(p0, p2)
-    assert not jnp.allclose(e2, p2)
+
+    # step 0 (warmup): effective decay ~0 -> EMA ~== live params
+    early, _ = step(state, batch)
+    p = jax.tree.leaves(early.params)[0]
+    e = jax.tree.leaves(early.ema_params)[0]
+    assert not jnp.allclose(jax.tree.leaves(state.params)[0], p)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-4)
+
+    # late step (past warmup): EMA strictly between old EMA and new params
+    late_state = state._replace(step=jnp.int32(50_000))
+    late, _ = step(late_state, batch)
+    p = jax.tree.leaves(late.params)[0]
+    e = jax.tree.leaves(late.ema_params)[0]
+    assert not jnp.allclose(e, p)
 
 
 def test_data_parallel_step_8_devices(tiny_setup):
