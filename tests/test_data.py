@@ -111,3 +111,30 @@ def test_mosaic4_merges_labels(synth_root):
     assert img.shape == (96, 96, 3)
     assert len(boxes) == len(classes)
     assert (boxes >= 0).all() and (boxes <= 96).all()
+
+
+def test_batch_iterator_with_mosaic_and_copy_paste(synth_root, tmp_path):
+    import cv2
+
+    from unina_yolo_dla_tpu.curation import CopyPasteAugmentor
+
+    root, yaml_path = synth_root
+    spec = load_dataset_yaml(yaml_path)
+    ds = YoloDataset(spec["train"], img_size=96, max_boxes=16)
+
+    asset = np.zeros((8, 6, 4), np.uint8)
+    asset[..., 2] = 220
+    asset[1:, 1:5, 3] = 255
+    cv2.imwrite(str(tmp_path / "orange_cone_0.png"),
+                cv2.cvtColor(asset, cv2.COLOR_RGBA2BGRA))
+    cp = CopyPasteAugmentor(tmp_path, max_pastes=1, seed=0,
+                            scale_range=(1.0, 1.0))
+
+    b = next(batch_iterator(ds, batch_size=4, rng=np.random.default_rng(0),
+                            steps=1, augment=True, mosaic_p=1.0,
+                            copy_paste=cp))
+    assert b["images"].shape == (4, 96, 96, 3)
+    assert b["mask"].any()
+    # boxes stay inside the canvas after mosaic + paste
+    valid_boxes = b["boxes"][b["mask"]]
+    assert (valid_boxes >= 0).all() and (valid_boxes <= 96).all()

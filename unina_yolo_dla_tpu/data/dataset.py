@@ -167,10 +167,19 @@ def batch_iterator(
     weights: np.ndarray | None = None,
     augment: bool = False,
     shuffle: bool = True,
+    mosaic_p: float = 0.0,
+    copy_paste=None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yields static-shape batches; weighted sampling with replacement when
-    ``weights`` is given (the active-learning path), else epoch shuffling."""
-    from .augment import augment_sample
+    ``weights`` is given (the active-learning path), else epoch shuffling.
+
+    ``mosaic_p``: probability of replacing a sample with a 4-image mosaic
+    (requires ``augment``). ``copy_paste``: optional
+    ``curation.CopyPasteAugmentor`` applied per sample (requires
+    ``augment``) — both match the reference's phase-1 augmentation set,
+    which phase-2 QAT switches off (train.py:848-866).
+    """
+    from .augment import augment_sample, mosaic4
 
     n = len(dataset)
     g = dataset.max_boxes
@@ -205,6 +214,12 @@ def batch_iterator(
                 continue  # tail padding slot
             img, bx, cl = dataset.load_letterboxed(i)
             if augment:
+                if mosaic_p > 0 and rng.uniform() < mosaic_p:
+                    extra = [dataset.load_letterboxed(int(rng.integers(n)))
+                             for _ in range(3)]
+                    img, bx, cl = mosaic4(rng, [(img, bx, cl)] + extra, s)
+                if copy_paste is not None:
+                    img, bx, cl = copy_paste(img, bx, cl)
                 img, bx, cl = augment_sample(rng, img, bx, cl)
             k = min(len(bx), g)
             images[b] = img

@@ -51,6 +51,8 @@ def fit(
     loss_cfg: LossConfig = LossConfig(),
     difficulty_map: str | dict | None = None,
     augment: bool = True,
+    mosaic_p: float = 0.0,
+    copy_paste=None,
     n_devices: int | None = None,
     extra_variables: dict[str, Any] | None = None,
     seed: int = 0,
@@ -93,7 +95,8 @@ def fit(
         losses = []
         for batch in batch_iterator(train_ds, tc.batch_size, rng,
                                     steps=steps_per_epoch, weights=weights,
-                                    augment=augment):
+                                    augment=augment, mosaic_p=mosaic_p,
+                                    copy_paste=copy_paste):
             batch.pop("sample_valid", None)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:

@@ -55,6 +55,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write the AOT serving artifact after training")
     p.add_argument("--difficulty-map", default=None,
                    help="difficulty_map.json for weighted sampling")
+    p.add_argument("--mosaic", type=float, default=0.5,
+                   help="phase-1 mosaic probability (QAT phase forces 0, "
+                        "train.py:848-866 parity)")
+    p.add_argument("--copy-paste-assets", default=None,
+                   help="directory of RGBA/.npy cone assets for copy-paste "
+                        "augmentation (phase 1 only)")
     p.add_argument("--calibrate-cp", action="store_true")
     p.add_argument("--cp-alpha", type=float, default=0.10)
     p.add_argument("--calib-batches", type=int, default=30)
@@ -93,9 +99,16 @@ def main(argv=None) -> dict:
         tc = TrainConfig(lr0=args.lr0, batch_size=args.batch,
                          optimizer=args.optimizer, use_ema=True,
                          warmup_steps=3 * max(len(train_ds) // args.batch, 1))
+        copy_paste = None
+        if args.copy_paste_assets:
+            from ..curation.copy_paste import CopyPasteAugmentor
+
+            copy_paste = CopyPasteAugmentor(args.copy_paste_assets,
+                                            seed=args.seed)
         res = fit(model, variables, train_ds, val_ds, tc,
                   epochs=args.epochs, output_dir=out_dir / "fp32",
                   difficulty_map=args.difficulty_map,
+                  mosaic_p=args.mosaic, copy_paste=copy_paste,
                   n_devices=args.devices, seed=args.seed)
         variables = res.best_variables
         save_msgpack(variables, out_dir / "fp32" / "best.msgpack")
