@@ -64,3 +64,42 @@ def test_bgra_alpha_ignored(setup):
     d2 = serve(v, jnp.asarray(bgra2))
     np.testing.assert_array_equal(np.asarray(d1.scores),
                                   np.asarray(d2.scores))
+
+
+def test_pallas_pipeline_matches_xla_pipeline(setup):
+    """Full serving pipeline with Pallas kernels (interpret on CPU) must
+    match the XLA-fused default."""
+    import unina_yolo_dla_tpu.ops.pallas.decode_kernel as dk
+    import unina_yolo_dla_tpu.ops.pallas.nms_kernel as nk
+    import unina_yolo_dla_tpu.ops.pallas.preprocess_kernel as pk
+    import functools
+
+    cfg, model, v = setup
+    rng = np.random.default_rng(3)
+    frame = jnp.asarray(rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8))
+
+    xla_serve = build_serving_fn(model, cfg, max_detections=256)
+    d_xla = xla_serve(v, frame)
+
+    # force interpret mode on the CPU backend
+    orig = (dk.decode_level_pallas, nk.nms_pallas, pk.normalize_pallas)
+    dk_i = functools.partial(orig[0].__wrapped__, interpret=True)
+    nk_i = functools.partial(orig[1].__wrapped__, interpret=True)
+    pk_i = functools.partial(orig[2].__wrapped__, interpret=True)
+    import unina_yolo_dla_tpu.ops.pallas as pallas_pkg
+
+    pallas_pkg.decode_level_pallas = dk_i
+    pallas_pkg.nms_pallas = nk_i
+    pallas_pkg.normalize_pallas = pk_i
+    try:
+        p_serve = build_serving_fn(model, cfg, max_detections=256,
+                                   use_pallas_kernels=True)
+        d_pal = p_serve(v, frame)
+    finally:
+        (pallas_pkg.decode_level_pallas, pallas_pkg.nms_pallas,
+         pallas_pkg.normalize_pallas) = orig
+
+    np.testing.assert_array_equal(np.asarray(d_xla.valid),
+                                  np.asarray(d_pal.valid))
+    np.testing.assert_allclose(np.asarray(d_xla.boxes),
+                               np.asarray(d_pal.boxes), rtol=1e-3, atol=0.1)

@@ -88,8 +88,15 @@ def nms_pallas(
 ) -> jnp.ndarray:
     """Returns the keep mask (K,) bool; contract of ops.nms.nms."""
     del scores  # ordering is positional (inputs pre-sorted)
-    k = boxes.shape[0]
-    assert k % COL_BLOCK == 0, k
+    k_in = boxes.shape[0]
+    # pad to a COL_BLOCK multiple with invalid entries (tiling requirement)
+    k = max(((k_in + COL_BLOCK - 1) // COL_BLOCK) * COL_BLOCK, COL_BLOCK)
+    if k != k_in:
+        pad = k - k_in
+        boxes = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)])
+        classes = jnp.concatenate(
+            [classes, jnp.zeros((pad,), classes.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
 
     boxes = boxes.astype(jnp.float32)
     classes_f = classes.astype(jnp.float32).reshape(k, 1)
@@ -127,4 +134,4 @@ def nms_pallas(
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         interpret=interpret,
     )(sup, valid_f.reshape(1, k))
-    return keep[0, :] > 0.5
+    return (keep[0, :] > 0.5)[:k_in]

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 
 from ..models.config import (
@@ -33,14 +34,43 @@ def build_serving_fn(
     q_factor: float = DEFAULT_CP_Q,
     max_detections: int = MAX_DETECTIONS,
     use_greedy_nms: bool = True,
+    use_pallas_kernels: bool = False,
 ) -> Callable[[Any, jnp.ndarray], Detections]:
     """Returns a jittable ``(variables, frame_uint8) -> Detections``.
 
     ``frame_uint8`` is (H, W, 3) RGB uint8 already at ``cfg.input_size``
-    (camera-resolution frames go through ``ops.preprocess.resize_bilinear``
-    or the Pallas fused kernel first — kept out of the benchmark path since
-    the reference's 15 ms target is measured at 640x640 input).
+    (camera-resolution frames go through ``build_camera_serving_fn``).
+
+    ``use_pallas_kernels`` swaps the XLA-fused preprocess/decode/NMS for
+    the hand-written Pallas kernels (ops/pallas) — numerically equivalent
+    (oracle-tested); the XLA path is the default because XLA's fusion of
+    these ops is already at parity on v5e.
     """
+    if use_pallas_kernels:
+        from ..ops.pallas import decode_level_pallas, nms_pallas, normalize_pallas
+
+        def serve(variables, frame: jnp.ndarray) -> Detections:
+            x = normalize_pallas(frame)[None]
+            outputs = model.apply(variables, x, train=False)
+            parts = [
+                decode_level_pallas(c[0], r[0], s, conf_threshold, q_factor)
+                for (c, r), s in zip(outputs, cfg.strides)
+            ]
+            boxes = jnp.concatenate([p[0] for p in parts])
+            scores = jnp.concatenate([p[1] for p in parts])
+            classes = jnp.concatenate([p[2] for p in parts])
+            valid = jnp.concatenate([p[3] for p in parts])
+            masked = jnp.where(valid, scores, -1.0)
+            k = min(max_detections, masked.shape[0])
+            top_scores, top_idx = jax.lax.top_k(masked, k)
+            dets = Detections(boxes[top_idx], scores[top_idx],
+                              classes[top_idx],
+                              valid[top_idx] & (top_scores > -0.5))
+            keep = nms_pallas(dets.boxes, dets.scores, dets.classes,
+                              dets.valid, iou_threshold)
+            return dets._replace(valid=keep)
+
+        return serve
 
     def serve(variables, frame: jnp.ndarray) -> Detections:
         x = normalize(frame.astype(jnp.float32) / 255.0)
