@@ -103,3 +103,25 @@ def test_pallas_pipeline_matches_xla_pipeline(setup):
                                   np.asarray(d_pal.valid))
     np.testing.assert_allclose(np.asarray(d_xla.boxes),
                                np.asarray(d_pal.boxes), rtol=1e-3, atol=0.1)
+
+
+def test_batch_serving_matches_single(setup):
+    from unina_yolo_dla_tpu.runtime.pipeline import build_batch_serving_fn
+
+    cfg, model, v = setup
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (3, IMG, IMG, 3)).astype(np.uint8)
+
+    batch_serve = jax.jit(build_batch_serving_fn(model, cfg,
+                                                 max_detections=64))
+    d_batch = batch_serve(v, jnp.asarray(frames))
+    assert d_batch.boxes.shape == (3, 64, 4)
+
+    single = jax.jit(build_serving_fn(model, cfg, max_detections=64))
+    for b in range(3):
+        d1 = single(v, jnp.asarray(frames[b]))
+        np.testing.assert_array_equal(np.asarray(d1.valid),
+                                      np.asarray(d_batch.valid[b]))
+        np.testing.assert_allclose(np.asarray(d1.boxes),
+                                   np.asarray(d_batch.boxes[b]),
+                                   rtol=1e-3, atol=0.5)

@@ -116,3 +116,21 @@ def test_lifecycle_configure_failure(native_build, tmp_path):
         env=env, capture_output=True, text=True, timeout=120)
     assert res.returncode == 1
     assert "FATAL" in res.stderr
+
+
+def test_embed_executor_nv12(artifact):
+    """NV12 planar frames decode through the executor (channels=0 path)."""
+    import numpy as np
+
+    from unina_yolo_dla_tpu.runtime.embed import make_executor
+
+    ex = make_executor(str(artifact), expected_input=IMG, expected_classes=4)
+    y = np.full((IMG, IMG), 128, np.uint8)
+    uv = np.full((IMG // 2, IMG // 2, 2), 128, np.uint8)
+    buf = y.tobytes() + uv.tobytes()
+    out = ex(buf, IMG, IMG, 0)
+    import struct
+
+    count, = struct.unpack_from("<I", out, 0)
+    assert count != 0xFFFFFFFF
+    assert len(out) == 4 + count * 24

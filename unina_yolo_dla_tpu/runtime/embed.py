@@ -41,10 +41,19 @@ def make_executor(artifact_dir: str, expected_input: int = 640,
 
     def execute(buf, width: int, height: int, channels: int) -> bytes:
         frame = np.frombuffer(buf, np.uint8)
-        frame = frame[: height * width * channels].reshape(
-            height, width, channels)
-        if channels == 4:  # BGRA -> RGB
-            frame = np.ascontiguousarray(frame[..., 2::-1])
+        if channels == 0:  # NV12 sentinel: planar Y + interleaved UV
+            n_y = height * width
+            y = frame[:n_y].reshape(height, width)
+            uv = frame[n_y:n_y + n_y // 2].reshape(height // 2,
+                                                   width // 2, 2)
+            from .. import ops
+
+            frame = np.asarray(ops.nv12_to_rgb(y, uv)).astype(np.uint8)
+        else:
+            frame = frame[: height * width * channels].reshape(
+                height, width, channels)
+            if channels == 4:  # BGRA -> RGB
+                frame = np.ascontiguousarray(frame[..., 2::-1])
         if (height, width) != (s, s):
             return struct.pack("<I", 0xFFFFFFFF)  # geometry error sentinel
 

@@ -29,7 +29,8 @@ struct RingHeader {
   uint32_t n_slots;
   uint32_t width;
   uint32_t height;
-  uint32_t channels;      // bytes per pixel for packed formats
+  uint32_t channels;      // bytes/px for packed formats; 0 == NV12 planar
+                          // (frame_bytes must then be w*h*3/2)
   uint32_t format;        // PixelFormat
   uint32_t frame_bytes;   // payload bytes per slot
   uint32_t _pad;
@@ -71,7 +72,8 @@ inline void ring_init(RingHeader* h, uint32_t n_slots, uint32_t width,
   h->height = height;
   h->channels = channels;
   h->format = static_cast<uint32_t>(fmt);
-  h->frame_bytes = width * height * channels;
+  h->frame_bytes = channels == 0 ? width * height * 3 / 2  // NV12 planar
+                                 : width * height * channels;
   h->write_seq.store(0, std::memory_order_relaxed);
   h->shutdown.store(0, std::memory_order_relaxed);
   h->magic = kRingMagic;  // last: readers treat magic as "ready"
