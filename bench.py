@@ -8,13 +8,14 @@ greedy NMS (MXU fixpoint, K=1024) — as ONE jitted XLA program on the TPU.
 Baseline to beat: the reference's <15 ms design target on Jetson Orin DLA
 (BASELINE.md); vs_baseline = baseline_ms / p99_ms (>1 is better).
 
-Methodology: the TPU here sits behind a network relay whose host<->device
-round-trip (~30 ms, high variance) would swamp the measurement, so the
-pipeline is iterated inside a single jitted ``lax.fori_loop`` (input varied
-per iteration to defeat CSE) and per-frame latency is the DIFFERENCE
-quotient between two loop lengths — fixed dispatch/fetch overhead cancels
-exactly. p99 is taken over repeated measurements. Extras report batch-8
-throughput (the production multi-stream mode).
+Methodology: the TPU here sits behind a network relay that adds a LARGE,
+VARIABLE fixed cost per dispatch+fetch (tens to hundreds of ms), so the
+pipeline is iterated inside jitted ``lax.fori_loop``s of several lengths
+(input varied per iteration to defeat CSE) and per-frame latency is the
+least-squares SLOPE of min-total-time vs loop length — fixed overhead of
+any size drops out, min() suppresses relay noise. Device execution itself
+is deterministic (static-shape program). Extras report batch-8 throughput
+(the production multi-stream mode).
 
 Prints exactly one JSON line.
 """
@@ -35,8 +36,8 @@ from unina_yolo_dla_tpu.quant.deploy import fold_batchnorm
 from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
 
 BASELINE_MS = 15.0
-N_SMALL, N_LARGE = 25, 125
-REPEATS = 12
+LOOP_LENGTHS = (100, 300, 500, 700)
+REPEATS = 5
 
 
 def make_loop(serve, n: int):
@@ -66,16 +67,19 @@ def measure_throughput(model, variables, rng, batch: int = 8) -> float:
     l1, l2 = make(10), make(60)
     float(l1(variables, x))
     float(l2(variables, x))
-    best = float("inf")
-    for _ in range(3):
+    dts = []
+    for _ in range(5):
         t0 = time.perf_counter()
         float(l1(variables, x))
         a = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(l2(variables, x))
         b = time.perf_counter() - t0
-        best = min(best, (b - a) / 50)
-    return batch / best
+        dts.append((b - a) / 50)
+    dts = [d for d in dts if d > 0]  # relay noise can flip the quotient
+    if not dts:
+        return float("nan")
+    return batch / float(np.median(dts))
 
 
 def main() -> None:
@@ -91,33 +95,29 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 256, (640, 640, 3), dtype=np.uint8))
 
-    loop_s = make_loop(serve, N_SMALL)
-    loop_l = make_loop(serve, N_LARGE)
+    loops = {n: make_loop(serve, n) for n in LOOP_LENGTHS}
     # compile + warmup (fetch forces full execution through the relay);
     # discard rounds absorb remote-compile and relay cold-start
-    for _ in range(3):
-        float(loop_s(v, frame))
-        float(loop_l(v, frame))
+    for loop in loops.values():
+        float(loop(v, frame))
+        float(loop(v, frame))
 
-    per_frame = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(loop_s(v, frame))
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop_l(v, frame))
-        t_large = time.perf_counter() - t0
-        per_frame.append((t_large - t_small) * 1e3 / (N_LARGE - N_SMALL))
+    mins = {}
+    for n, loop in loops.items():
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(loop(v, frame))
+            ts.append(time.perf_counter() - t0)
+        mins[n] = min(ts)
 
-    per_frame = np.array(per_frame)
-    # Each sample is already a 100-frame average; device-side per-frame
-    # variance on static-shape TPU programs is negligible (every frame runs
-    # the identical program), so cross-repeat spread is relay/host noise.
-    # Robust estimate: median after trimming relay outliers (>2x median).
-    med = float(np.median(per_frame))
-    trimmed = per_frame[per_frame < 2 * med]
-    value = float(np.median(trimmed))
-    spread = float(np.percentile(trimmed, 95) - np.percentile(trimmed, 5))
+    ns = np.array(list(mins.keys()), dtype=np.float64)
+    ys = np.array([mins[int(n)] for n in ns])
+    slope, intercept = np.polyfit(ns, ys, 1)     # seconds per frame
+    value = float(slope) * 1e3
+    # residual spread of the fit, per frame — measurement quality signal
+    resid = ys - (slope * ns + intercept)
+    spread = float(np.abs(resid).max() / ns.mean()) * 1e3
 
     fps8 = measure_throughput(model, v, rng)
 
@@ -126,8 +126,8 @@ def main() -> None:
         "value": round(value, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / value, 3),
-        "extra": {"repeats": REPEATS, "harness_spread_ms": round(spread, 3),
-                  "outliers_trimmed": int(len(per_frame) - len(trimmed)),
+        "extra": {"repeats": REPEATS, "loop_lengths": list(LOOP_LENGTHS),
+                  "harness_spread_ms": round(spread, 3),
                   "baseline_ms": BASELINE_MS, "batch": 1, "input": 640,
                   "batch8_fps": round(fps8, 0),
                   "pipeline": "preprocess+forward_bf16_bnfolded+decode+"
