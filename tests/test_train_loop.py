@@ -131,3 +131,27 @@ def test_dp_matches_single_device(tiny_setup):
                     jax.tree.leaves(s_dp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_training_is_deterministic(tiny_setup):
+    """Same seed + same data -> bit-identical first-step loss and params
+    (static-shape XLA programs are deterministic; the host pipeline must
+    be too)."""
+    ds, cfg, model, variables = tiny_setup
+    tc = TrainConfig(lr0=0.01, warmup_steps=1, total_steps=10, use_ema=False)
+    tx = make_optimizer(tc)
+    step = jax.jit(make_train_step(model, cfg, tx, tc))
+
+    losses, leaves = [], []
+    for _ in range(2):
+        state = create_train_state(variables, tx, tc)
+        batch = next(batch_iterator(ds, batch_size=4,
+                                    rng=np.random.default_rng(7), steps=1,
+                                    augment=True))
+        batch.pop("sample_valid", None)
+        state, aux = step(state, {k: jnp.asarray(v)
+                                  for k, v in batch.items()})
+        losses.append(float(aux["loss"]))
+        leaves.append(np.asarray(jax.tree.leaves(state.params)[0]))
+    assert losses[0] == losses[1]
+    np.testing.assert_array_equal(leaves[0], leaves[1])
