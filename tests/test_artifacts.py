@@ -32,16 +32,24 @@ def test_int8_engine_artifact_loads_and_detects():
     k = variables["params"]["backbone"]["stage2_conv"]["conv"]["kernel"]
     assert k.dtype == np.int8
 
-    # serve a synthetic cone scene; the trained model must fire on it
+    # serve a synthetic cone scene; the trained model must fire on it.
+    # generate_image emits BGR (cv2 convention) — the pipeline wants RGB.
     from unina_yolo_dla_tpu.data import SynthConfig, generate_image
 
     frame, labels = generate_image(
         np.random.default_rng(3), SynthConfig(image_size=640, seed=3))
-    serve = jax.jit(build_serving_fn(model, cfg, conf_threshold=0.5))
-    dets = serve(variables, jnp.asarray(frame))
-    n = int(np.asarray(dets.valid).sum())
+    rgb = np.ascontiguousarray(frame[..., ::-1])
+    serve = jax.jit(build_serving_fn(model, cfg, conf_threshold=0.5,
+                                     q_factor=0.0))
+    dets = serve(variables, jnp.asarray(rgb))
+    valid = np.asarray(dets.valid)
+    n = int(valid.sum())
     assert n >= 1, "trained int8 engine found no cones in a synthetic scene"
     assert n <= len(labels) + 3  # no detection explosion
+    # detected class set must be a subset of the GT class set
+    gt_classes = {int(lbl[0]) for lbl in labels}
+    det_classes = {int(c) for c in np.asarray(dets.classes)[valid]}
+    assert det_classes <= gt_classes, (det_classes, gt_classes)
 
 
 @pytest.mark.skipif(not (ARTIFACTS / "cp_calibration.json").exists(),

@@ -42,6 +42,9 @@ def main(argv=None) -> None:
     p.add_argument("--max-detections", type=int, default=1024)
     p.add_argument("--no-strict", action="store_true",
                    help="warn instead of fail on fallback-analyzer findings")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering targets (e.g. cpu,tpu) "
+                        "for a portable artifact; default: current backend")
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
@@ -81,10 +84,13 @@ def main(argv=None) -> None:
 
     q = (load_cp_q(args.cp_calibration, args.q)
          if args.cp_calibration else args.q)
+    platforms = (tuple(args.platforms.split(","))
+                 if args.platforms else None)
     out = export_serving_artifact(
         model, variables, args.output,
         conf_threshold=args.conf, iou_threshold=args.iou, q_factor=q,
-        max_detections=args.max_detections, strict=not args.no_strict)
+        max_detections=args.max_detections, strict=not args.no_strict,
+        platforms=platforms)
     print(f">>> artifact written to {out} (q={q})")
 
 

@@ -91,6 +91,8 @@ def quantize_weights_int8(
         if not isinstance(node, dict):
             return node
         if "kernel" in node and not spec.excluded(path):
+            if np.asarray(node["kernel"]).dtype == np.int8:
+                return node  # already quantised: idempotent
             kernel = np.asarray(node["kernel"], np.float32)  # HWIO
             if getattr(spec, "per_channel_weights", True):
                 amax = np.abs(kernel).max(axis=(0, 1, 2))    # (O,)

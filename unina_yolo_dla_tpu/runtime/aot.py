@@ -107,8 +107,14 @@ def export_serving_artifact(
     q_factor: float = DEFAULT_CP_Q,
     max_detections: int = MAX_DETECTIONS,
     strict: bool = True,
+    platforms: tuple[str, ...] | None = None,
 ) -> Path:
-    """Serialize the fused frame->boxes program + weights + config."""
+    """Serialize the fused frame->boxes program + weights + config.
+
+    ``platforms``: lowering targets, e.g. ("cpu", "tpu") for a portable
+    artifact (the multi-arch engine TensorRT cannot build); None lowers
+    for the current backend only.
+    """
     cfg: ModelConfig = model.config
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -129,7 +135,7 @@ def export_serving_artifact(
     report = analyze_lowered(hlo_text, out_tree)
     print_fallback_report(report, strict=strict)
 
-    exported = jax_export.export(fn)(v_spec, frame_spec)
+    exported = jax_export.export(fn, platforms=platforms)(v_spec, frame_spec)
     (output_dir / "serving.stablehlo").write_bytes(exported.serialize())
     save_msgpack(v, output_dir / "variables.msgpack")
     (output_dir / "config.json").write_text(json.dumps({
