@@ -165,6 +165,11 @@ class ServingArtifact:
 
     def __init__(self, directory: str | Path) -> None:
         self.dir = Path(directory)
+        if not (self.dir / "config.json").exists():
+            raise FileNotFoundError(
+                f"no serving artifact at {self.dir} (expected config.json, "
+                "serving.stablehlo, variables.msgpack — produce one with "
+                "`python -m unina_yolo_dla_tpu.export`)")
         self.config = json.loads((self.dir / "config.json").read_text())
         exported = jax_export.deserialize(
             (self.dir / "serving.stablehlo").read_bytes())

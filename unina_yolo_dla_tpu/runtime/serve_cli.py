@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
 import subprocess
 import sys
 from pathlib import Path
@@ -21,6 +22,11 @@ def load_config(path: str | Path) -> dict:
 
 
 def main(argv=None) -> None:
+    # die quietly when stdout is piped into `head` etc.
+    try:
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     p = argparse.ArgumentParser(description="UNINA-YOLO-DLA-TPU serving")
     p.add_argument("--config", default="configs/serving.yaml")
     p.add_argument("--artifact", default=None,
