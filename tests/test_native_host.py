@@ -97,6 +97,93 @@ def test_host_end_to_end(native_build, artifact, tmp_path):
     assert "count=" in out.stdout
 
 
+def test_host_end_to_end_nv12(native_build, artifact, tmp_path):
+    """NV12 planar frames flow through the NATIVE host (channels==0 path):
+    the C++ memoryview must be sized w*h*3/2, not w*h*0."""
+    ring = tmp_path / "frames_nv12.ring"
+    dets = tmp_path / "dets_nv12.out"
+
+    env = dict(os.environ)
+    env["UNINA_FORCE_CPU"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+
+    host = subprocess.Popen(
+        [str(native_build / "perception_host"),
+         "--artifact", str(artifact), "--ring", str(ring),
+         "--out", str(dets), "--input", str(IMG), "--classes", "4",
+         "--max-frames", "3"],
+        env=env, stderr=subprocess.PIPE, text=True)
+
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce",
+         "--ring", str(ring), "--width", str(IMG), "--height", str(IMG),
+         "--frames", "3000", "--fps", "30", "--slots", "4",
+         "--format", "nv12"],
+        stderr=subprocess.PIPE, text=True)
+
+    try:
+        _, host_err = host.communicate(timeout=280)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=10)
+        if host.poll() is None:
+            host.kill()
+
+    assert host.returncode == 0, f"host failed:\n{host_err}"
+    assert "frames=3" in host_err
+    # NV12 frames must be processed, not rejected by the executor
+    assert "geom=0" in host_err
+
+    raw = dets.read_bytes()
+    seq, = struct.unpack_from("<Q", raw, 8)
+    assert seq > 0
+
+
+def test_host_geometry_mismatch_drops(native_build, artifact, tmp_path):
+    """Wrong-geometry frames (any format) are dropped with accounting, not
+    published as empty results (ADVICE round 1)."""
+    ring = tmp_path / "frames_bad.ring"
+    dets = tmp_path / "dets_bad.out"
+
+    env = dict(os.environ)
+    env["UNINA_FORCE_CPU"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+
+    host = subprocess.Popen(
+        [str(native_build / "perception_host"),
+         "--artifact", str(artifact), "--ring", str(ring),
+         "--out", str(dets), "--input", str(IMG), "--classes", "4",
+         "--max-frames", "3"],
+        env=env, stderr=subprocess.PIPE, text=True)
+
+    # BGRA frames at the WRONG size: previously fell through the ch==3-only
+    # guard into the executor sentinel path
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce",
+         "--ring", str(ring), "--width", str(IMG * 2),
+         "--height", str(IMG * 2), "--frames", "200", "--fps", "60",
+         "--slots", "4", "--format", "bgra"],
+        stderr=subprocess.PIPE, text=True)
+
+    try:
+        _, host_err = host.communicate(timeout=280)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=10)
+        if host.poll() is None:
+            host.kill()
+
+    assert host.returncode == 0, f"host failed:\n{host_err}"
+    # every frame dropped at the geometry guard; none processed/published
+    assert "frames=0" in host_err
+    assert "geometry" in host_err
+    raw = dets.read_bytes()
+    seq, = struct.unpack_from("<Q", raw, 8)
+    assert seq == 0
+
+
 def test_lifecycle_configure_failure(native_build, tmp_path):
     """Bad artifact dir -> clean FATAL, nonzero exit, no crash."""
     ring = tmp_path / "r2.ring"

@@ -84,6 +84,31 @@ def test_nms_kernel_chain_case():
     np.testing.assert_array_equal(keep[:3], [True, False, True])
 
 
+def test_nms_kernel_deep_chain_exceeds_iteration_budget():
+    """A suppression chain deeper than FIXPOINT_ITERS must still match
+    exact greedy NMS (the XLA stationarity tail-guard, ADVICE round 1)."""
+    from unina_yolo_dla_tpu.ops.pallas.nms_kernel import FIXPOINT_ITERS
+
+    n = 3 * FIXPOINT_ITERS  # chain needs ~n iterations to converge
+    k = 256
+    assert n < k
+    boxes = np.zeros((k, 4), np.float32)
+    for i in range(n):
+        # consecutive boxes: IoU 0.5 (> thr); i and i+2: IoU 0.2 (< thr)
+        boxes[i] = (6.0 * i, 0, 6.0 * i + 18.0, 18.0)
+    scores = np.linspace(1.0, 0.1, k).astype(np.float32)
+    dets = Detections(jnp.asarray(boxes), jnp.asarray(scores),
+                      jnp.zeros(k, jnp.int32),
+                      jnp.asarray(np.arange(k) < n))
+    want = np.asarray(nms_reference(dets, 0.3).valid)
+    # greedy on this chain keeps the evens — sanity-check the construction
+    np.testing.assert_array_equal(want[:6],
+                                  [True, False, True, False, True, False])
+    got = np.asarray(nms_pallas(dets.boxes, dets.scores, dets.classes,
+                                dets.valid, 0.3, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_normalize_kernel_rgb(rng):
     img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
     got = np.asarray(normalize_pallas(jnp.asarray(img), interpret=True))

@@ -133,6 +133,66 @@ def test_dp_matches_single_device(tiny_setup):
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_resume_is_bit_identical(tiny_setup, tmp_path):
+    """Kill at epoch k, resume with --resume semantics -> bit-identical to
+    an uninterrupted run (full TrainState + data-RNG position restored;
+    Ultralytics last.pt parity, reference train.py:648,898)."""
+    from unina_yolo_dla_tpu.train.loop import fit
+
+    ds, cfg, model, variables = tiny_setup
+    steps_per_epoch = max(len(ds) // 4, 1)
+    # pin total_steps so the LR schedule is identical across all runs
+    tc = TrainConfig(lr0=0.02, warmup_steps=1,
+                     total_steps=steps_per_epoch * 4, use_ema=True,
+                     batch_size=4)
+
+    # uninterrupted 4-epoch run
+    full = fit(model, variables, ds, None, tc, epochs=4,
+               output_dir=tmp_path / "full", augment=False, seed=11,
+               log_fn=lambda *_: None)
+
+    # interrupted run: 2 epochs, then resume to 4 in the same output dir
+    part = fit(model, variables, ds, None, tc, epochs=2,
+               output_dir=tmp_path / "resumed", augment=False, seed=11,
+               log_fn=lambda *_: None)
+    resumed = fit(model, variables, ds, None, tc, epochs=4,
+                  output_dir=tmp_path / "resumed", augment=False, seed=11,
+                  resume=True, log_fn=lambda *_: None)
+
+    assert int(resumed.state.step) == int(full.state.step)
+    for a, b in zip(jax.tree.leaves(full.state.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(full.state.opt_state),
+                    jax.tree.leaves(resumed.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(full.state.ema_params),
+                    jax.tree.leaves(resumed.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # per-epoch losses of the resumed tail match the uninterrupted run
+    assert [h["loss"] for h in resumed.history] == \
+        [h["loss"] for h in full.history[2:]]
+    # the partial run really did stop at 2
+    assert len(part.history) == 2
+
+
+def test_mixup_batches_are_wellformed(tiny_setup):
+    """mixup_p=1 blends two samples: labels unioned, image stays uint8-
+    ranged, static shapes preserved."""
+    ds, cfg, model, variables = tiny_setup
+    rng = np.random.default_rng(0)
+    plain = next(batch_iterator(ds, batch_size=4,
+                                rng=np.random.default_rng(0), steps=1,
+                                augment=False))
+    mixed = next(batch_iterator(ds, batch_size=4, rng=rng, steps=1,
+                                augment=True, mixup_p=1.0))
+    assert mixed["images"].shape == plain["images"].shape
+    assert mixed["boxes"].shape == plain["boxes"].shape
+    # unioned labels: at least as many valid boxes on average
+    assert mixed["mask"].sum() >= plain["mask"].sum()
+    assert np.isfinite(mixed["images"]).all()
+
+
 def test_training_is_deterministic(tiny_setup):
     """Same seed + same data -> bit-identical first-step loss and params
     (static-shape XLA programs are deterministic; the host pipeline must

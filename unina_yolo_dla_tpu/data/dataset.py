@@ -50,6 +50,29 @@ def _label_path(img_path: Path) -> Path:
     return Path(*parts).with_suffix(".txt")
 
 
+def letterbox_image(
+    img: np.ndarray, size: int, pad_value: int = 114
+) -> tuple[np.ndarray, float, int, int]:
+    """Aspect-preserving resize onto a ``size``x``size`` canvas.
+
+    The Ultralytics LetterBox semantics the reference uses everywhere
+    (mine_data.py:48-86): returns (canvas uint8 (S,S,3), scale, pad_x,
+    pad_y); a box in original pixels maps to canvas pixels as
+    ``xy * scale + pad`` and back as ``(xy - pad) / scale``.
+    """
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = min(size / h, size / w)
+    nh, nw = round(h * scale), round(w * scale)
+    if (nh, nw) != (h, w):
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    pad_y, pad_x = (size - nh) // 2, (size - nw) // 2
+    canvas = np.full((size, size, 3), pad_value, np.uint8)
+    canvas[pad_y:pad_y + nh, pad_x:pad_x + nw] = img
+    return canvas, scale, pad_x, pad_y
+
+
 class YoloDataset:
     """Image + YOLO-txt label pairs with letterbox preprocessing."""
 
@@ -100,18 +123,10 @@ class YoloDataset:
         self, idx: int
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(img_uint8 (S,S,3), boxes_xyxy_px (N,4), classes (N,))."""
-        import cv2
-
         img, labels = self.load_raw(idx)
         s = self.img_size
         h, w = img.shape[:2]
-        scale = min(s / h, s / w)
-        nh, nw = round(h * scale), round(w * scale)
-        if (nh, nw) != (h, w):
-            img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        pad_y, pad_x = (s - nh) // 2, (s - nw) // 2
-        canvas = np.full((s, s, 3), 114, np.uint8)
-        canvas[pad_y:pad_y + nh, pad_x:pad_x + nw] = img
+        canvas, scale, pad_x, pad_y = letterbox_image(img, s)
 
         if labels.shape[0]:
             cx = labels[:, 1] * w * scale + pad_x
@@ -168,18 +183,21 @@ def batch_iterator(
     augment: bool = False,
     shuffle: bool = True,
     mosaic_p: float = 0.0,
+    mixup_p: float = 0.0,
     copy_paste=None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yields static-shape batches; weighted sampling with replacement when
     ``weights`` is given (the active-learning path), else epoch shuffling.
 
     ``mosaic_p``: probability of replacing a sample with a 4-image mosaic
+    (requires ``augment``). ``mixup_p``: probability of Beta(32,32)
+    image-blending with a second augmented sample, labels unioned
     (requires ``augment``). ``copy_paste``: optional
     ``curation.CopyPasteAugmentor`` applied per sample (requires
-    ``augment``) — both match the reference's phase-1 augmentation set,
+    ``augment``) — all match the reference's phase-1 augmentation set,
     which phase-2 QAT switches off (train.py:848-866).
     """
-    from .augment import augment_sample, mosaic4
+    from .augment import augment_sample, mixup, mosaic4
 
     n = len(dataset)
     g = dataset.max_boxes
@@ -221,6 +239,12 @@ def batch_iterator(
                 if copy_paste is not None:
                     img, bx, cl = copy_paste(img, bx, cl)
                 img, bx, cl = augment_sample(rng, img, bx, cl)
+                if mixup_p > 0 and rng.uniform() < mixup_p:
+                    j = int(rng.integers(n))
+                    img2, bx2, cl2 = dataset.load_letterboxed(j)
+                    img2, bx2, cl2 = augment_sample(rng, img2, bx2, cl2)
+                    img, bx, cl = mixup(
+                        rng, (img, bx, cl), (img2, bx2, cl2))
             k = min(len(bx), g)
             images[b] = img
             boxes[b, :k] = bx[:k]

@@ -28,35 +28,47 @@ def predict_batches(
     iou_threshold: float = 0.45,
     q_factor: float = 0.0,
     max_detections: int = 300,
+    mesh=None,
 ):
     """Yields (pred (N,6) [x1,y1,x2,y2,conf,cls] px, gt (M,5) [cls,xyxy] px)
-    per image."""
+    per image.
+
+    Decode+NMS is ``vmap``-ed over the batch: one compiled graph whose size
+    is independent of B (the reference validates rank-0 through one CUDA
+    graph too, trainer.py:197-286). When ``mesh`` is given and B divides
+    the mesh size, images are sharded over the ``data`` axis so per-epoch
+    validation rides the same devices as training.
+    """
     cfg: ModelConfig = model.config
     v = {k: variables[k] for k in ("params", "batch_stats", "quant")
          if k in variables}
 
     def fwd(vv, images):
         outputs = model.apply(vv, images, train=False)
-        B = images.shape[0]
-        det_list = []
-        for b in range(B):
-            per_img = [(c[b:b + 1], r[b:b + 1]) for c, r in outputs]
-            dets = decode_outputs(per_img, cfg.strides, conf_threshold,
+
+        def single(outs):
+            dets = decode_outputs(outs, cfg.strides, conf_threshold,
                                   q_factor, max_detections)
-            det_list.append(nms(dets, iou_threshold))
-        return det_list
+            return nms(dets, iou_threshold)
+
+        return jax.vmap(single)(outputs)
 
     fwd = jax.jit(fwd)
 
     for batch in batches:
-        det_list = fwd(v, jnp.asarray(batch["images"]))
+        images = jnp.asarray(batch["images"])
         B = batch["images"].shape[0]
+        if mesh is not None and B % mesh.size == 0:
+            from .parallel.mesh import batch_sharding  # local: optional dep
+
+            images = jax.device_put(images, batch_sharding(mesh))
+        batched_dets = jax.device_get(fwd(v, images))
         sample_valid = batch.get("sample_valid",
                                  np.ones(B, bool))
         for b in range(B):
             if not sample_valid[b]:
                 continue
-            dets = jax.device_get(det_list[b])
+            dets = jax.tree.map(lambda x: x[b], batched_dets)
             valid = np.asarray(dets.valid)
             pred = np.concatenate([
                 np.asarray(dets.boxes)[valid],
@@ -78,6 +90,7 @@ def evaluate_model(
     conf_threshold: float = 0.25,
     iou_threshold: float = 0.45,
     small_size_threshold: int = 15,
+    mesh=None,
 ) -> dict[str, float]:
     """Full evaluation dict: mAP + small-object metrics."""
     cfg: ModelConfig = model.config
@@ -86,7 +99,8 @@ def evaluate_model(
     small = SmallObjectMetric(size_threshold=small_size_threshold,
                               image_size=img_size)
     for pred, gt in predict_batches(model, variables, batches_fn(),
-                                    conf_threshold, iou_threshold):
+                                    conf_threshold, iou_threshold,
+                                    mesh=mesh):
         preds.append(pred)
         gts.append(gt)
         # SmallObjectMetric consumes normalised cxcywh

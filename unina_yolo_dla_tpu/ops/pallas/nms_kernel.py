@@ -8,9 +8,11 @@ the TPU way: no atomics, no O(n^2) thread scan. Two kernels:
    position, both valid — one (K, B) block per grid step so VMEM stack
    stays ~10 MB under the 16 MB scoped limit.
 2. ``_fixpoint_kernel``: runs the exact-greedy fixpoint
-   ``keep <- valid & ~(keep @ S)`` on the MXU for a fixed iteration budget
-   (>= max suppression-chain depth; see ops/nms.py for the exactness
-   argument). S (K=1024 -> 4 MB f32) lives fully in VMEM here.
+   ``keep <- valid & ~(keep @ S)`` on the MXU for a fixed iteration budget,
+   after which the wrapper finishes the fixpoint to stationarity in XLA —
+   so the result is exact greedy NMS for ANY suppression-chain depth (see
+   ops/nms.py for the exactness argument). S (K=1024 -> 4 MB f32) lives
+   fully in VMEM here.
 """
 from __future__ import annotations
 
@@ -134,4 +136,24 @@ def nms_pallas(
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         interpret=interpret,
     )(sup, valid_f.reshape(1, k))
+
+    # Exactness guard: FIXPOINT_ITERS covers suppression chains up to that
+    # depth; finish the fixpoint to stationarity in XLA so a deeper chain
+    # cannot silently diverge from greedy NMS. When the kernel already
+    # converged (the practical case) this costs exactly one extra matmul.
+    valid_row = valid_f.reshape(1, k)
+
+    def _cond(carry):
+        _, changed = carry
+        return changed
+
+    def _body(carry):
+        kp, _ = carry
+        hit = jax.lax.dot_general(
+            kp, sup, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        new = jnp.where(hit > 0.5, 0.0, valid_row)
+        return new, jnp.any(new != kp)
+
+    keep, _ = jax.lax.while_loop(_cond, _body, (keep, jnp.bool_(True)))
     return (keep[0, :] > 0.5)[:k_in]

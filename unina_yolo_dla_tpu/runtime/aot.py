@@ -165,11 +165,13 @@ class ServingArtifact:
 
     def __init__(self, directory: str | Path) -> None:
         self.dir = Path(directory)
-        if not (self.dir / "config.json").exists():
+        required = ("config.json", "serving.stablehlo", "variables.msgpack")
+        missing = [f for f in required if not (self.dir / f).exists()]
+        if missing:
             raise FileNotFoundError(
-                f"no serving artifact at {self.dir} (expected config.json, "
-                "serving.stablehlo, variables.msgpack — produce one with "
-                "`python -m unina_yolo_dla_tpu.export`)")
+                f"incomplete serving artifact at {self.dir}: missing "
+                f"{', '.join(missing)} (expected {', '.join(required)} — "
+                "produce one with `python -m unina_yolo_dla_tpu.export`)")
         self.config = json.loads((self.dir / "config.json").read_text())
         exported = jax_export.deserialize(
             (self.dir / "serving.stablehlo").read_bytes())

@@ -9,6 +9,12 @@
 
 namespace unina {
 
+// Outcome of a single-frame inference call. kGeometryError is the
+// executor-side shape-mismatch sentinel (embed.py returns 0xFFFFFFFF) —
+// distinct from a legitimate zero-detection frame so the host can count
+// it as a drop instead of publishing an empty result.
+enum class InferStatus { kOk, kGeometryError };
+
 // Inference executor over the AOT serving artifact (embedded CPython).
 class PyExecutor {
  public:
@@ -18,9 +24,10 @@ class PyExecutor {
   PyExecutor(const PyExecutor&) = delete;
   PyExecutor& operator=(const PyExecutor&) = delete;
 
-  // Frame bytes (zero-copy from the shm ring) -> compacted detections.
-  std::vector<Detection> infer(const uint8_t* frame, int width, int height,
-                               int channels);
+  // Frame bytes (from the shm ring) -> compacted detections.
+  // channels: 3 = RGB, 4 = BGRA, 0 = NV12 planar (w*h*3/2 bytes).
+  InferStatus infer(const uint8_t* frame, int width, int height,
+                    int channels, std::vector<Detection>* out);
 
  private:
   struct Impl;

@@ -101,6 +101,12 @@ inline void ring_commit_write(RingHeader* h, uint64_t seq,
 
 // Returns payload pointer for the newest unread frame (> last_seq), or
 // nullptr. Stale frames between last_seq and the newest are skipped.
+//
+// CONTRACT: the returned pointer is only stable while the producer stays
+// at least n_slots-1 frames behind a full lap; a producer writing as fast
+// as possible into a small ring can overwrite the slot mid-read. Consumers
+// that process frames slower than the producer publishes MUST use
+// ring_read_latest (copy-then-validate) instead.
 inline const uint8_t* ring_poll_latest(RingHeader* h, uint64_t last_seq,
                                        uint64_t* out_seq,
                                        uint64_t* out_timestamp_ns,
@@ -114,6 +120,35 @@ inline const uint8_t* ring_poll_latest(RingHeader* h, uint64_t last_seq,
   *out_timestamp_ns = sh->timestamp_ns;
   *out_dropped = newest - last_seq - 1;
   return slot + sizeof(SlotHeader);
+}
+
+// Copy-then-validate read of the newest unread frame. Copies the payload
+// into ``dst`` (capacity >= h->frame_bytes), then re-validates that the
+// producer did not lap the ring and start rewriting the slot during the
+// copy — the torn-frame hazard ring_poll_latest leaves open.
+//
+// Returns: 1 = valid frame copied; 0 = nothing new; -1 = frame was torn
+// by a lapping producer (out_seq is still set — the caller should advance
+// its cursor and count a drop rather than spin on the same slot).
+inline int ring_read_latest(RingHeader* h, uint64_t last_seq, uint8_t* dst,
+                            uint64_t* out_seq, uint64_t* out_timestamp_ns,
+                            uint64_t* out_dropped) {
+  uint64_t newest = h->write_seq.load(std::memory_order_acquire);
+  if (newest <= last_seq) return 0;
+  uint8_t* slot = slot_ptr(h, newest);
+  auto* sh = reinterpret_cast<SlotHeader*>(slot);
+  if (sh->seq != newest) return 0;  // producer mid-write; retry later
+  *out_seq = newest;
+  *out_timestamp_ns = sh->timestamp_ns;
+  *out_dropped = newest - last_seq - 1;
+  std::memcpy(dst, slot + sizeof(SlotHeader), h->frame_bytes);
+  std::atomic_thread_fence(std::memory_order_acquire);
+  // A writer begins rewriting this slot when it starts frame
+  // newest + n_slots, which requires write_seq == newest + n_slots - 1;
+  // seeing write_seq at or past that mark means the copy may be torn.
+  uint64_t newest2 = h->write_seq.load(std::memory_order_acquire);
+  if (sh->seq != newest || newest2 >= newest + h->n_slots - 1) return -1;
+  return 1;
 }
 
 // --- detection output queue (device->host ~1 KB contract) ---

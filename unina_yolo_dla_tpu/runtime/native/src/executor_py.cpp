@@ -61,42 +61,51 @@ PyExecutor::~PyExecutor() {
   delete impl_;
 }
 
-std::vector<Detection> PyExecutor::infer(const uint8_t* frame, int width,
-                                         int height, int channels) {
+InferStatus PyExecutor::infer(const uint8_t* frame, int width, int height,
+                              int channels, std::vector<Detection>* out) {
   PyGILState_STATE gil = PyGILState_Ensure();
 
+  // channels == 0 is the NV12-planar sentinel (frame_ring.hpp): the
+  // payload is w*h luma + w*h/2 interleaved chroma, not w*h*channels.
+  Py_ssize_t nbytes =
+      channels == 0
+          ? static_cast<Py_ssize_t>(width) * height * 3 / 2
+          : static_cast<Py_ssize_t>(width) * height * channels;
   // zero-copy view of the shm slot
   PyObject* view = PyMemoryView_FromMemory(
-      reinterpret_cast<char*>(const_cast<uint8_t*>(frame)),
-      static_cast<Py_ssize_t>(width) * height * channels, PyBUF_READ);
+      reinterpret_cast<char*>(const_cast<uint8_t*>(frame)), nbytes,
+      PyBUF_READ);
   PyObject* result = PyObject_CallFunction(impl_->execute_fn, "Oiii", view,
                                            width, height, channels);
   Py_DECREF(view);
 
-  std::vector<Detection> dets;
+  out->clear();
   if (!result) {
     PyErr_Print();
     PyGILState_Release(gil);
     throw std::runtime_error("executor call failed");
   }
+  InferStatus status = InferStatus::kOk;
   char* buf = nullptr;
   Py_ssize_t len = 0;
   if (PyBytes_AsStringAndSize(result, &buf, &len) == 0 &&
       len >= static_cast<Py_ssize_t>(sizeof(uint32_t))) {
     uint32_t count;
     std::memcpy(&count, buf, sizeof(count));
-    if (count != 0xFFFFFFFFu) {
+    if (count == 0xFFFFFFFFu) {
+      status = InferStatus::kGeometryError;
+    } else {
       size_t need = sizeof(uint32_t) + size_t(count) * sizeof(Detection);
       if (static_cast<size_t>(len) >= need) {
-        dets.resize(count);
-        std::memcpy(dets.data(), buf + sizeof(uint32_t),
+        out->resize(count);
+        std::memcpy(out->data(), buf + sizeof(uint32_t),
                     count * sizeof(Detection));
       }
     }
   }
   Py_DECREF(result);
   PyGILState_Release(gil);
-  return dets;
+  return status;
 }
 
 }  // namespace unina

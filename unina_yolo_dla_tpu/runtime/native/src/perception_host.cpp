@@ -139,13 +139,19 @@ int main(int argc, char** argv) {
 
   unina::LatencyHistogram hist;
   uint64_t last_seq = 0, total_dropped = 0, processed = 0;
+  uint64_t torn_drops = 0, geom_drops = 0;
   const uint32_t w = ring->width, h = ring->height, ch = ring->channels;
+
+  // Copy-then-validate staging buffer: a fast producer lapping the small
+  // ring mid-read would otherwise hand us a silently torn frame.
+  std::vector<uint8_t> staging(ring->frame_bytes);
+  std::vector<unina::Detection> dets;
 
   while (!g_stop) {
     uint64_t seq = 0, ts = 0, dropped = 0;
-    const uint8_t* frame =
-        unina::ring_poll_latest(ring, last_seq, &seq, &ts, &dropped);
-    if (!frame) {
+    int got = unina::ring_read_latest(ring, last_seq, staging.data(), &seq,
+                                      &ts, &dropped);
+    if (got == 0) {
       // drain-then-exit: only stop once no unseen frame remains
       if (ring->shutdown.load(std::memory_order_acquire)) break;
       ::usleep(200);
@@ -153,18 +159,41 @@ int main(int argc, char** argv) {
     }
     last_seq = seq;
     total_dropped += dropped;
+    if (got < 0) {  // torn by a lapping producer: drop, advance
+      ++torn_drops;
+      ++total_dropped;
+      continue;
+    }
 
-    // per-frame guard: geometry must match the configured artifact
-    if (static_cast<int>(w) != input_size && ch == 3) {
-      continue;  // drop, don't crash (perception_node.cpp:588-596 policy)
+    // per-frame guard: geometry must match the configured artifact for
+    // EVERY pixel format (perception_node.cpp:588-596 policy) — wrong-
+    // geometry BGRA/NV12 must not reach the executor either
+    if (static_cast<int>(w) != input_size ||
+        static_cast<int>(h) != input_size) {
+      if (++geom_drops == 1 || geom_drops % 64 == 0) {
+        std::fprintf(stderr,
+                     "WARNING: dropping %llu frame(s) with geometry %ux%u "
+                     "!= configured %dx%d\n",
+                     (unsigned long long)geom_drops, w, h, input_size,
+                     input_size);
+      }
+      continue;
     }
 
     auto t0 = std::chrono::steady_clock::now();
-    std::vector<unina::Detection> dets;
+    unina::InferStatus st;
     try {
-      dets = exec->infer(frame, w, h, ch);
+      st = exec->infer(staging.data(), w, h, ch, &dets);
     } catch (const std::exception& e) {
       std::fprintf(stderr, "WARNING: inference failed: %s\n", e.what());
+      continue;
+    }
+    if (st == unina::InferStatus::kGeometryError) {
+      // executor-side shape sentinel: count as a drop, never publish
+      ++geom_drops;
+      std::fprintf(stderr,
+                   "WARNING: executor rejected frame seq=%llu (geometry)\n",
+                   (unsigned long long)seq);
       continue;
     }
     double ms = std::chrono::duration<double, std::milli>(
@@ -189,9 +218,11 @@ int main(int argc, char** argv) {
   lc.cleanup();
   std::fprintf(stderr,
                "[perception_host] shutdown: frames=%llu dropped=%llu "
-               "p50=%.3fms p90=%.3fms p99=%.3fms\n",
+               "(torn=%llu geom=%llu) p50=%.3fms p90=%.3fms p99=%.3fms\n",
                (unsigned long long)processed,
-               (unsigned long long)total_dropped, hist.p50(), hist.p90(),
+               (unsigned long long)total_dropped,
+               (unsigned long long)torn_drops,
+               (unsigned long long)geom_drops, hist.p50(), hist.p90(),
                hist.p99());
   ::munmap(ring, ring_len);
   ::munmap(out, out_len);

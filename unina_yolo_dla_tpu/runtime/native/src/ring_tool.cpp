@@ -42,7 +42,7 @@ uint64_t now_ns() {
 }
 
 int produce(int argc, char** argv) {
-  std::string ring_path;
+  std::string ring_path, format = "rgb";
   uint32_t width = 640, height = 640, slots = 4;
   long frames = 100;
   double fps = 0.0;  // 0 = as fast as possible
@@ -54,17 +54,38 @@ int produce(int argc, char** argv) {
     else if (a == "--frames") frames = std::atol(argv[++i]);
     else if (a == "--fps") fps = std::atof(argv[++i]);
     else if (a == "--slots") slots = std::atoi(argv[++i]);
+    else if (a == "--format") format = argv[++i];
   }
   if (ring_path.empty()) return 2;
 
-  size_t total = unina::ring_total_bytes(slots, width * height * 3);
+  // channels doubles as the format sentinel: 0 == NV12 planar
+  uint32_t channels;
+  unina::PixelFormat fmt;
+  if (format == "rgb") {
+    channels = 3;
+    fmt = unina::PixelFormat::RGB8;
+  } else if (format == "bgra") {
+    channels = 4;
+    fmt = unina::PixelFormat::BGRA8;
+  } else if (format == "nv12") {
+    channels = 0;
+    fmt = unina::PixelFormat::NV12;
+  } else {
+    std::fprintf(stderr, "unknown --format %s (rgb|bgra|nv12)\n",
+                 format.c_str());
+    return 2;
+  }
+  uint32_t frame_bytes = channels == 0 ? width * height * 3 / 2
+                                       : width * height * channels;
+
+  size_t total = unina::ring_total_bytes(slots, frame_bytes);
   auto* ring = static_cast<unina::RingHeader*>(
       map_create(ring_path.c_str(), total));
   if (!ring) {
     std::fprintf(stderr, "cannot create ring %s\n", ring_path.c_str());
     return 1;
   }
-  unina::ring_init(ring, slots, width, height, 3, unina::PixelFormat::RGB8);
+  unina::ring_init(ring, slots, width, height, channels, fmt);
 
   const uint64_t period_ns =
       fps > 0 ? static_cast<uint64_t>(1e9 / fps) : 0;
@@ -73,8 +94,18 @@ int produce(int argc, char** argv) {
     uint64_t seq;
     uint8_t* dst = unina::ring_begin_write(ring, &seq);
     // cheap deterministic pattern varying per frame
-    std::memset(dst, static_cast<int>((f * 37) & 0xFF),
-                size_t(width) * height * 3);
+    if (channels == 0) {
+      // NV12: luma pattern + neutral chroma (grey frame)
+      std::memset(dst, static_cast<int>((f * 37) & 0xFF),
+                  size_t(width) * height);
+      std::memset(dst + size_t(width) * height, 128,
+                  size_t(width) * height / 2);
+    } else {
+      std::memset(dst, static_cast<int>((f * 37) & 0xFF), frame_bytes);
+      if (channels == 4) {  // opaque alpha so BGRA->RGB is well-defined
+        for (size_t px = 3; px < frame_bytes; px += 4) dst[px] = 255;
+      }
+    }
     unina::ring_commit_write(ring, seq, now_ns());
     if (period_ns) {
       next += period_ns;

@@ -71,6 +71,8 @@ def main(argv=None) -> None:
         import cv2
         import numpy as np
 
+        from ..data.dataset import letterbox_image
+
         names = cfg.get("class_names", {})
         for img_path in sorted(Path(args.images).iterdir()):
             if img_path.suffix.lower() not in (".jpg", ".jpeg", ".png"):
@@ -78,15 +80,26 @@ def main(argv=None) -> None:
             img = cv2.imread(str(img_path))
             if img is None:
                 continue
-            img = cv2.resize(img[..., ::-1], (input_size, input_size))
-            result = srv.process_frame(np.ascontiguousarray(img))
+            # letterbox, not plain resize: the training/eval geometry
+            # (data/dataset.py letterbox; Ultralytics LetterBox semantics)
+            # — a squashing resize silently degrades accuracy here
+            rgb = np.ascontiguousarray(img[..., ::-1])
+            canvas, scale, pad_x, pad_y = letterbox_image(rgb, input_size)
+            result = srv.process_frame(canvas)
             if result is None:
                 continue
+            # back-map boxes from canvas px to original-image px
+            pad = np.array([pad_x, pad_y, pad_x, pad_y], np.float32)
+            boxes = (np.asarray(result["boxes"], np.float32) - pad) / scale
+            h0, w0 = img.shape[:2]
+            if len(boxes):
+                boxes[:, 0::2] = boxes[:, 0::2].clip(0, w0)
+                boxes[:, 1::2] = boxes[:, 1::2].clip(0, h0)
             dets = [
                 {"class": names.get(int(c), int(c)),
                  "score": round(float(s), 3),
                  "box": [round(float(v), 1) for v in b]}
-                for b, s, c in zip(result["boxes"], result["scores"],
+                for b, s, c in zip(boxes, result["scores"],
                                    result["classes"])
             ]
             print(json.dumps({"image": img_path.name, "detections": dets}))

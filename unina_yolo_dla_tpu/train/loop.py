@@ -52,15 +52,23 @@ def fit(
     difficulty_map: str | dict | None = None,
     augment: bool = True,
     mosaic_p: float = 0.0,
+    mixup_p: float = 0.0,
     copy_paste=None,
     n_devices: int | None = None,
     extra_variables: dict[str, Any] | None = None,
     seed: int = 0,
+    resume: bool = False,
     log_fn: Callable[[str], None] = print,
 ) -> FitResult:
     """Train for ``epochs`` over ``train_ds``; returns the best variables.
 
     ``extra_variables`` carries the frozen quant collection for phase-2 QAT.
+
+    ``resume=True`` restores the FULL training state (params, batch_stats,
+    optimizer state, EMA tree, step counter, data-RNG position) from
+    ``<output_dir>/weights/last_state.msgpack`` — the Ultralytics last.pt
+    semantics (reference train.py:648,898): a resumed run is bit-identical
+    to one that never stopped.
     """
     cfg: ModelConfig = model.config
     output_dir = Path(output_dir)
@@ -89,13 +97,42 @@ def fit(
     history: list[dict[str, float]] = []
     best_fit = -1.0
     best_variables = {k: jax.device_get(v) for k, v in variables.items()}
+    start_epoch = 0
 
-    for epoch in range(epochs):
+    resume_path = output_dir / "weights" / "last_state.msgpack"
+    resume_meta_path = output_dir / "weights" / "last_state.json"
+    if resume and resume_path.exists():
+        import json as _json
+
+        from ..utils.checkpoint import load_msgpack
+
+        state = load_msgpack(resume_path, state)
+        meta = _json.loads(resume_meta_path.read_text())
+        start_epoch = int(meta["epoch"]) + 1
+        best_fit = float(meta["best_fit"])
+        rng.bit_generator.state = meta["rng_state"]
+        eval_template = {
+            "params": state.ema_params if tc.use_ema else state.params,
+            "batch_stats": state.batch_stats,
+            **(extra_variables or {}),
+        }
+        try:
+            best_variables = ckpts.load_best(eval_template)
+        except FileNotFoundError:
+            pass
+        log_fn(f"resumed from epoch {start_epoch - 1} "
+               f"(step={int(state.step)}, best_fit={best_fit:.4f})")
+    elif resume:
+        log_fn(f"--resume requested but {resume_path} not found; "
+               "starting fresh")
+
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for batch in batch_iterator(train_ds, tc.batch_size, rng,
                                     steps=steps_per_epoch, weights=weights,
                                     augment=augment, mosaic_p=mosaic_p,
+                                    mixup_p=mixup_p,
                                     copy_paste=copy_paste):
             batch.pop("sample_valid", None)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -118,7 +155,8 @@ def fit(
                                       np.random.default_rng(0),
                                       shuffle=False, augment=False)
 
-            val_metrics = evaluate_model(model, eval_vars, val_batches)
+            val_metrics = evaluate_model(model, eval_vars, val_batches,
+                                         mesh=mesh)
             epoch_metrics.update(val_metrics)
             fit_val = fitness(val_metrics)
         else:
@@ -137,6 +175,20 @@ def fit(
         if fit_val > best_fit:
             best_fit = fit_val
             best_variables = save_vars
+
+        # full-state checkpoint for --resume (last.pt semantics): the whole
+        # TrainState plus the host data-RNG position so a resumed run is
+        # bit-identical to an uninterrupted one
+        from ..utils.checkpoint import save_msgpack
+
+        save_msgpack(state, resume_path)
+        import json as _json
+
+        resume_meta_path.write_text(_json.dumps({
+            "epoch": epoch,
+            "best_fit": best_fit,
+            "rng_state": rng.bit_generator.state,
+        }))
 
         # append-only metrics log (results.csv analogue, machine-readable)
         import json as _json

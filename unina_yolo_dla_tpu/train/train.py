@@ -58,6 +58,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mosaic", type=float, default=0.5,
                    help="phase-1 mosaic probability (QAT phase forces 0, "
                         "train.py:848-866 parity)")
+    p.add_argument("--mixup", type=float, default=0.0,
+                   help="phase-1 mixup probability (QAT phase forces 0, "
+                        "train.py:848-866 parity)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume the interrupted phase from its full train "
+                        "state (params+optimizer+EMA+step+data RNG — the "
+                        "Ultralytics last.pt semantics, train.py:648,898)")
     p.add_argument("--copy-paste-assets", default=None,
                    help="directory of RGBA/.npy cone assets for copy-paste "
                         "augmentation (phase 1 only)")
@@ -108,8 +115,10 @@ def main(argv=None) -> dict:
         res = fit(model, variables, train_ds, val_ds, tc,
                   epochs=args.epochs, output_dir=out_dir / "fp32",
                   difficulty_map=args.difficulty_map,
-                  mosaic_p=args.mosaic, copy_paste=copy_paste,
-                  n_devices=args.devices, seed=args.seed)
+                  mosaic_p=args.mosaic, mixup_p=args.mixup,
+                  copy_paste=copy_paste,
+                  n_devices=args.devices, seed=args.seed,
+                  resume=args.resume)
         variables = res.best_variables
         save_msgpack(variables, out_dir / "fp32" / "best.msgpack")
         results["fp32"] = res.metrics
@@ -141,7 +150,7 @@ def main(argv=None) -> dict:
                   epochs=args.qat_epochs, output_dir=out_dir / "qat",
                   augment=False, n_devices=args.devices,
                   extra_variables={"quant": qat_vars["quant"]},
-                  seed=args.seed)
+                  seed=args.seed, resume=args.resume)
         qat_best = dict(res.best_variables)
         qat_best["quant"] = qat_vars["quant"]
         save_msgpack(qat_best, out_dir / "qat" / "best.msgpack")
