@@ -101,3 +101,69 @@ def test_int8_artifact_export(int8_setup, tmp_path):
     art = ServingArtifact(out)
     dets = jax.device_get(art(np.zeros((IMG, IMG, 3), np.uint8)))
     assert dets[0].shape == (64, 4)
+
+
+@pytest.fixture(scope="module")
+def fused_setup(int8_setup):
+    cfg, *_ , int8_model, int8_vars = int8_setup
+    spec = QuantSpec(mode="int8_fused")
+    fused_cfg = dataclasses.replace(cfg, deploy=True, quant=spec)
+    return UninaYoloDla(fused_cfg), int8_vars
+
+
+def test_int8_fused_tracks_unfused_engine(int8_setup, fused_setup):
+    """The fused chain (int8 activations between layers) must approximate
+    the unfused engine: same weights/scales, extra inter-layer requant
+    rounding only."""
+    *_, int8_model, int8_vars = int8_setup
+    fused_model, fused_vars = fused_setup
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, IMG, IMG, 3)).astype(np.float32))
+
+    unfused = jax.jit(
+        lambda v, xx: int8_model.apply(v, xx, train=False))(int8_vars, x)
+    fused = jax.jit(
+        lambda v, xx: fused_model.apply(v, xx, train=False))(fused_vars, x)
+
+    for (uc, ur), (fc, fr) in zip(unfused, fused):
+        for u, f in ((uc, fc), (ur, fr)):
+            u, f = np.asarray(u), np.asarray(f)
+            assert np.isfinite(f).all()
+            assert np.abs(u - f).mean() < 0.25, np.abs(u - f).mean()
+            # logits correlate strongly despite the extra rounding
+            cc = np.corrcoef(u.ravel(), f.ravel())[0, 1]
+            assert cc > 0.98, cc
+
+
+def test_int8_fused_structure_loads_calibration(int8_setup, fused_setup):
+    """Every quant variable the fused model creates (in_q at float->int8
+    boundaries, out_q per ConvBlock, add_q per shortcut) must exist in the
+    calibrated collection — one calibration serves both engines."""
+    *_, int8_vars = int8_setup
+    fused_model, _ = fused_setup
+
+    def paths(tree):
+        return {tuple(str(getattr(k, "key", k)) for k in p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    ref = fused_model.init(jax.random.key(0),
+                           jnp.zeros((1, IMG, IMG, 3)), train=False)
+    ref_q = paths(ref["quant"])
+    assert any(p[-2] == "out_q" for p in ref_q)   # requant points exist
+    assert any(p[-2] == "add_q" for p in ref_q)   # residual adds covered
+    assert ref_q <= paths(int8_vars["quant"]), \
+        ref_q - paths(int8_vars["quant"])
+
+
+def test_int8_fused_artifact_export(fused_setup, tmp_path):
+    from unina_yolo_dla_tpu.runtime.aot import (
+        ServingArtifact,
+        export_serving_artifact,
+    )
+
+    fused_model, fused_vars = fused_setup
+    out = tmp_path / "fused_artifact"
+    export_serving_artifact(fused_model, fused_vars, out, max_detections=64)
+    art = ServingArtifact(out)
+    dets = jax.device_get(art(np.zeros((IMG, IMG, 3), np.uint8)))
+    assert dets[0].shape == (64, 4)

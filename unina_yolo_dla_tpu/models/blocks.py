@@ -24,6 +24,23 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..quant.fake_quant import ActQuant, QuantConv, QuantSpec
+from ..quant.qtensor import QTensor, qconcat, qmaxpool, upsample_nearest_2x_q
+
+# Modes in which ConvBlock appends an output quantizer: the calib modes
+# collect post-ReLU stats for it, int8_fused reads the calibrated amax to
+# requantise. QAT ("quantize") deliberately has NO output fake-quant —
+# pytorch-quantization's QuantConv2d quantises input+weight only, and QAT
+# parity with the reference is the contract (qat.py:225-258).
+_OUT_Q_MODES = ("calib_max", "calib_hist", "int8_fused")
+
+
+def concat_features(xs, axis: int = -1):
+    """Concat that keeps a fused int8 chain int8 (scale-matched), falling
+    back to float concat otherwise."""
+    if all(isinstance(x, QTensor) for x in xs):
+        return qconcat(list(xs), axis=axis)
+    xs = [x.dequant() if isinstance(x, QTensor) else x for x in xs]
+    return jnp.concatenate(xs, axis=axis)
 
 
 class ConvBlock(nn.Module):
@@ -65,7 +82,14 @@ class ConvBlock(nn.Module):
                 param_dtype=self.param_dtype,
                 name="bn",
             )(x)
-        return nn.relu(x)
+        x = nn.relu(x)
+        spec = self.quant
+        if (spec is not None and spec.mode in _OUT_Q_MODES
+                and not spec.excluded("/".join(self.scope.path))):
+            # calib: collect post-ReLU output stats; int8_fused: requantise
+            # to the calibrated output amax -> the block emits int8
+            x = ActQuant(spec, name="out_q")(x)
+        return x
 
 
 class Bottleneck(nn.Module):
@@ -91,13 +115,25 @@ class Bottleneck(nn.Module):
         out = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         out = ConvBlock(self.features, 3, name="cv2", **kw)(out, train)
         if self.shortcut and x.shape[-1] == self.features:
-            # residual quantizer for QAT/calibration (int8-add scale
-            # matching, qat.py:281-294); in the true-int8 engine the add
-            # itself stays float on the VPU, so no quantizer there
-            if self.quant is not None and self.quant.mode in (
-                    "calib_max", "calib_hist", "quantize"):
-                x = ActQuant(self.quant, name="residual_q")(x)
-            out = x + out
+            spec = self.quant
+            if isinstance(out, QTensor) and isinstance(x, QTensor):
+                # fused engine: add on the VPU in f32 (both operands
+                # dequantise in-register), requantise the sum to the
+                # calibrated add_q amax -> int8 out
+                s = out.dequant(jnp.float32) + x.dequant(jnp.float32)
+                out = ActQuant(spec, name="add_q")(s)
+            else:
+                # residual quantizer for QAT/calibration (int8-add scale
+                # matching, qat.py:281-294); in the unfused int8 engine the
+                # add itself stays float on the VPU, so no quantizer there
+                if spec is not None and spec.mode in (
+                        "calib_max", "calib_hist", "quantize"):
+                    x = ActQuant(spec, name="residual_q")(x)
+                out = x + out
+                if spec is not None and spec.mode in (
+                        "calib_max", "calib_hist"):
+                    # collect add-output stats for the fused engine's add_q
+                    out = ActQuant(spec, name="add_q")(out)
         return out
 
 
@@ -127,7 +163,7 @@ class C3k2(nn.Module):
             path1 = Bottleneck(hidden, self.shortcut, expansion=1.0,
                                name=f"bottleneck_{i}", **kw)(path1, train)
         path2 = ConvBlock(hidden, 1, name="cv2", **kw)(x, train)
-        merged = jnp.concatenate([path1, path2], axis=-1)
+        merged = concat_features([path1, path2])
         return ConvBlock(self.features, 1, name="cv3", **kw)(merged, train)
 
 
@@ -150,23 +186,32 @@ class SPPF(nn.Module):
                   quant=self.quant, deploy=self.deploy)
         x = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)
         k = self.pool_size
-        pad = k // 2
-        pool = lambda t: nn.max_pool(  # noqa: E731
-            t, window_shape=(k, k), strides=(1, 1),
-            padding=((pad, pad), (pad, pad)))
+        if isinstance(x, QTensor):
+            # max is monotone: pool on int8 directly, scale unchanged — the
+            # concat below sees four tensors at literally the same amax
+            # tracer, so qconcat skips every rescale
+            pool = lambda t: qmaxpool(t, k)  # noqa: E731
+        else:
+            pad = k // 2
+            pool = lambda t: nn.max_pool(  # noqa: E731
+                t, window_shape=(k, k), strides=(1, 1),
+                padding=((pad, pad), (pad, pad)))
         y1 = pool(x)
         y2 = pool(y1)
         y3 = pool(y2)
-        merged = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        merged = concat_features([x, y1, y2, y3])
         return ConvBlock(self.features, 1, name="cv2", **kw)(merged, train)
 
 
-def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+def upsample_nearest_2x(x) -> jnp.ndarray:
     """Nearest-neighbour 2x upsample (reference model.py:135-147).
 
     Implemented as reshape+broadcast — XLA lowers this to a cheap layout op,
-    unlike generic ``jax.image.resize`` which builds a gather.
+    unlike generic ``jax.image.resize`` which builds a gather. Int8 fused
+    tensors upsample as int8 (pure layout, scale-preserving).
     """
+    if isinstance(x, QTensor):
+        return upsample_nearest_2x_q(x)
     b, h, w, c = x.shape
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))

@@ -7,10 +7,10 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax.numpy as jnp
+
 from flax import linen as nn
 
-from .blocks import C3k2, ConvBlock, upsample_nearest_2x
+from .blocks import C3k2, ConvBlock, concat_features, upsample_nearest_2x
 from .config import ModelConfig
 
 
@@ -32,20 +32,20 @@ class Neck(nn.Module):
         p4_lat = ConvBlock(c3, 1, name="lateral_p3", **kw)(p4_sppf, train)
         p4_up = upsample_nearest_2x(p4_lat)  # 40 -> 80
         p3_fused = C3k2(c3, n=1, name="fpn_c3k2_1", **kw)(
-            jnp.concatenate([p4_up, p3_in], axis=-1), train)
+            concat_features([p4_up, p3_in]), train)
 
         p3_lat = ConvBlock(c2, 1, name="lateral_p2", **kw)(p3_fused, train)
         p3_up = upsample_nearest_2x(p3_lat)  # 80 -> 160
         p2_fused = C3k2(c2, n=1, name="fpn_c3k2_2", **kw)(
-            jnp.concatenate([p3_up, p2_in], axis=-1), train)
+            concat_features([p3_up, p2_in]), train)
 
         # --- Bottom-up (PAN) ---
         p2_down = ConvBlock(c2, 3, strides=2, name="down1", **kw)(p2_fused, train)
         p3_out = C3k2(c3, n=1, name="pan_c3k2_1", **kw)(
-            jnp.concatenate([p2_down, p3_fused], axis=-1), train)
+            concat_features([p2_down, p3_fused]), train)
 
         p3_down = ConvBlock(c3, 3, strides=2, name="down2", **kw)(p3_out, train)
         p4_out = C3k2(c4, n=1, name="pan_c3k2_2", **kw)(
-            jnp.concatenate([p3_down, p4_in], axis=-1), train)
+            concat_features([p3_down, p4_in]), train)
 
         return p2_fused, p3_out, p4_out

@@ -27,11 +27,32 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from . import qtensor
+from .qtensor import QTensor
+
 HIST_BINS = 2048
 
 # FP16/FP32-excluded layer patterns: stem + P2 head keep full precision
 # (train.py:779-781 — small-object-critical layers).
 DEFAULT_EXCLUDE = ("backbone/stem", "backbone/stage1_conv", "head_p2")
+
+# TPU-perf extension of the exclusion list for the DEPLOYED int8 engine:
+# v5e microbenchmarks (RESULTS.md) show int8 convs beat bf16 by ~25% at
+# P3/P4 spatial sizes (80^2/40^2) but LOSE at the 160^2+ stages, whose
+# cost is data-movement-bound and dtype-independent (f32 == bf16 there) —
+# quantising them only adds requant work. The fast int8 engine therefore
+# keeps every 160^2-operating layer in bf16, the same mixed-precision
+# philosophy as the reference's own FP16 layer list (qat.py:700-753),
+# extended per measured TPU economics. QAT still trains with
+# DEFAULT_EXCLUDE only, so these layers' activation amaxes exist either
+# way and an engine built with either list loads the same calibration.
+PERF_EXCLUDE = DEFAULT_EXCLUDE + (
+    "backbone/stage1_block",   # C3k2 at 160^2
+    "backbone/stage2_conv",    # 160^2 -> 80^2 downsample
+    "neck/lateral_p2",         # 1x1 at 80^2->160^2 path
+    "neck/fpn_c3k2_2",         # P2 fusion C3k2 at 160^2
+    "neck/down1",              # 160^2 -> 80^2 downsample
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,8 +63,13 @@ class QuantSpec:
     "calib_hist" (pass-through, fill |x| histograms over [0, amax]),
     "quantize" (fake-quant with calibrated amax — QAT / accuracy
     simulation), "int8" (TRUE integer compute: int8 weights + int8
-    activations -> int32 MXU accumulation; requires weights pre-quantised
-    by quant.deploy.quantize_weights_int8).
+    activations -> int32 MXU accumulation, dequantised to float between
+    layers; requires weights pre-quantised by
+    quant.deploy.quantize_weights_int8), "int8_fused" (int8 compute AND
+    int8 activations BETWEEN layers: each ConvBlock requantises its
+    post-ReLU output to a calibrated amax and emits a QTensor, so the
+    inter-layer HBM tensor is 1 byte/elem — the TensorRT int8
+    layer-chaining equivalent; see quant/qtensor.py).
     """
 
     mode: str = "off"
@@ -130,6 +156,16 @@ class ActQuant(nn.Module):
                          -spec.qmax, spec.qmax).astype(jnp.int8)
             return q, scale
 
+        if spec.mode == "int8_fused":
+            # float -> QTensor boundary at a calibrated amax. Used as
+            # "in_q" (first quantized conv after a float region), "out_q"
+            # (ConvBlock post-ReLU requant) and "add_q" (residual add
+            # output). The variable paths match what the calib modes
+            # collect, so one calibration serves both engines.
+            amax = self.variable("quant", "amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            return qtensor.quantize(x, amax.value)
+
         # quantize (QAT fake-quant)
         amax = self.variable("quant", "amax",
                              lambda: jnp.zeros((), jnp.float32))
@@ -180,7 +216,7 @@ class QuantConv(nn.Module):
         spec = self.quant or QuantSpec()
         path = "/".join(self.scope.path)
         quantized = spec.mode != "off" and not spec.excluded(path)
-        int8_path = quantized and spec.mode == "int8"
+        int8_path = quantized and spec.mode in ("int8", "int8_fused")
 
         pad = self.padding
         if isinstance(pad, int):
@@ -206,14 +242,33 @@ class QuantConv(nn.Module):
             # per-output-channel weight scales (broadcast over NHWC's C)
             w_scale = self.param("w_scale", nn.initializers.ones_init(),
                                  (self.features,), jnp.float32)
-            x_q, x_scale = ActQuant(spec, name="in_q")(x)
+            if isinstance(x, QTensor):
+                # fused chain: input already int8 at the producer's scale;
+                # no in_q quantizer needed (or created)
+                x_q, x_scale = x.q, x.scale
+            elif spec.mode == "int8_fused":
+                qt = ActQuant(spec, name="in_q")(x)
+                x_q, x_scale = qt.q, qt.scale
+            else:
+                x_q, x_scale = ActQuant(spec, name="in_q")(x)
             y = conv(x_q, kernel_q, jnp.int32)
             y = y.astype(jnp.float32) * (x_scale * w_scale)
             if self.use_bias:
                 bias = self.param("bias", self.bias_init, (self.features,),
                                   jnp.float32)
                 y = y + bias
-            return y.astype(self.dtype)
+            # int8_fused: stay f32 so the downstream ReLU + requant chain
+            # fuses into this conv's epilogue at full precision (the f32
+            # never reaches HBM — the requantised int8 does)
+            out_dtype = jnp.float32 if spec.mode == "int8_fused" else \
+                self.dtype
+            return y.astype(out_dtype)
+
+        if isinstance(x, QTensor):
+            # int8 -> float boundary: an excluded (full-precision) layer
+            # consuming a fused-chain tensor (e.g. head_p2 reading the
+            # quantized neck's P2 feature)
+            x = x.dequant(self.dtype)
 
         kernel = self.param("kernel", self.kernel_init, kshape,
                             self.param_dtype)
