@@ -185,6 +185,7 @@ def batch_iterator(
     mosaic_p: float = 0.0,
     mixup_p: float = 0.0,
     copy_paste=None,
+    process_slice: tuple[int, int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yields static-shape batches; weighted sampling with replacement when
     ``weights`` is given (the active-learning path), else epoch shuffling.
@@ -196,6 +197,14 @@ def batch_iterator(
     ``curation.CopyPasteAugmentor`` applied per sample (requires
     ``augment``) — all match the reference's phase-1 augmentation set,
     which phase-2 QAT switches off (train.py:848-866).
+
+    ``process_slice=(process_index, process_count)``: multi-host mode.
+    Every host computes the IDENTICAL global sample order (same ``rng``
+    stream), but loads/augments ONLY its contiguous rows of each batch and
+    yields (batch_size/process_count)-row batches. Per-sample augmentation
+    randomness comes from seeds drawn up front for the whole global batch,
+    so a sample's augmentation is a function of (rng, step, global row) —
+    independent of how many hosts share the work.
     """
     from .augment import augment_sample, mixup, mosaic4
 
@@ -220,37 +229,56 @@ def batch_iterator(
     total = steps if steps is not None else int(np.ceil(n / batch_size))
     order = sample_indices(total * batch_size)
 
+    if process_slice is not None:
+        pid, pcount = process_slice
+        if batch_size % pcount:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{pcount} processes")
+        local_rows = range(pid * (batch_size // pcount),
+                           (pid + 1) * (batch_size // pcount))
+        # host-independent per-sample randomness: drawn identically on all
+        # hosts (same rng stream), indexed by (step, global row)
+        row_seeds = rng.integers(0, 2**63 - 1, size=(total, batch_size))
+    else:
+        local_rows = range(batch_size)
+        row_seeds = None
+
+    rows = list(local_rows)
+    local_b = len(rows)
+
     for step in range(total):
-        images = np.zeros((batch_size, s, s, 3), np.uint8)
-        boxes = np.zeros((batch_size, g, 4), np.float32)
-        labels = np.zeros((batch_size, g), np.int32)
-        mask = np.zeros((batch_size, g), bool)
-        sample_valid = np.zeros(batch_size, bool)
-        for b in range(batch_size):
+        images = np.zeros((local_b, s, s, 3), np.uint8)
+        boxes = np.zeros((local_b, g, 4), np.float32)
+        labels = np.zeros((local_b, g), np.int32)
+        mask = np.zeros((local_b, g), bool)
+        sample_valid = np.zeros(local_b, bool)
+        for out_b, b in enumerate(rows):
             i = int(order[step * batch_size + b])
             if i < 0:
                 continue  # tail padding slot
+            srng = (np.random.default_rng(row_seeds[step, b])
+                    if row_seeds is not None else rng)
             img, bx, cl = dataset.load_letterboxed(i)
             if augment:
-                if mosaic_p > 0 and rng.uniform() < mosaic_p:
-                    extra = [dataset.load_letterboxed(int(rng.integers(n)))
+                if mosaic_p > 0 and srng.uniform() < mosaic_p:
+                    extra = [dataset.load_letterboxed(int(srng.integers(n)))
                              for _ in range(3)]
-                    img, bx, cl = mosaic4(rng, [(img, bx, cl)] + extra, s)
+                    img, bx, cl = mosaic4(srng, [(img, bx, cl)] + extra, s)
                 if copy_paste is not None:
                     img, bx, cl = copy_paste(img, bx, cl)
-                img, bx, cl = augment_sample(rng, img, bx, cl)
-                if mixup_p > 0 and rng.uniform() < mixup_p:
-                    j = int(rng.integers(n))
+                img, bx, cl = augment_sample(srng, img, bx, cl)
+                if mixup_p > 0 and srng.uniform() < mixup_p:
+                    j = int(srng.integers(n))
                     img2, bx2, cl2 = dataset.load_letterboxed(j)
-                    img2, bx2, cl2 = augment_sample(rng, img2, bx2, cl2)
+                    img2, bx2, cl2 = augment_sample(srng, img2, bx2, cl2)
                     img, bx, cl = mixup(
-                        rng, (img, bx, cl), (img2, bx2, cl2))
+                        srng, (img, bx, cl), (img2, bx2, cl2))
             k = min(len(bx), g)
-            images[b] = img
-            boxes[b, :k] = bx[:k]
-            labels[b, :k] = cl[:k]
-            mask[b, :k] = True
-            sample_valid[b] = True
+            images[out_b] = img
+            boxes[out_b, :k] = bx[:k]
+            labels[out_b, :k] = cl[:k]
+            mask[out_b, :k] = True
+            sample_valid[out_b] = True
         yield {
             "images": normalize_images(images),
             "boxes": boxes,

@@ -22,6 +22,7 @@ from ..data.dataset import YoloDataset, batch_iterator, load_difficulty_weights
 from ..evaluate import evaluate_model
 from ..models.config import ModelConfig
 from ..parallel import create_mesh, make_parallel_train_step, shard_batch
+from ..parallel.distributed import is_main_process, make_global_batch
 from ..utils.checkpoint import CheckpointManager
 from .losses import LossConfig
 from .trainer import TrainConfig, TrainState, create_train_state, make_optimizer, make_train_step
@@ -69,10 +70,21 @@ def fit(
     ``<output_dir>/weights/last_state.msgpack`` — the Ultralytics last.pt
     semantics (reference train.py:648,898): a resumed run is bit-identical
     to one that never stopped.
+
+    Multi-host: when ``jax.distributed`` is initialised (>1 process —
+    parallel/distributed.py), the mesh spans all hosts' devices,
+    ``tc.batch_size`` is the GLOBAL batch, each host loads only its
+    process_index-strided slice, and every artifact write is gated on
+    process 0 (the reference's rank-0 DDP semantics,
+    train.py:1064-1096). ``output_dir`` must be a shared filesystem for
+    --resume to see process 0's state file.
     """
     cfg: ModelConfig = model.config
     output_dir = Path(output_dir)
     ckpts = CheckpointManager(output_dir / "weights")
+
+    pcount = jax.process_count()
+    main = is_main_process()
 
     steps_per_epoch = max(len(train_ds) // tc.batch_size, 1)
     tc = dataclasses.replace(
@@ -82,13 +94,14 @@ def fit(
     step_fn = make_train_step(model, cfg, tx, tc, loss_cfg,
                               extra_variables=extra_variables)
 
-    n_dev = n_devices or 1
+    n_dev = n_devices or (jax.device_count() if pcount > 1 else 1)
     if n_dev > 1:
         mesh = create_mesh(n_dev)
         p_step = make_parallel_train_step(step_fn, mesh)
     else:
         mesh = None
         p_step = jax.jit(step_fn, donate_argnums=(0,))
+    process_slice = (jax.process_index(), pcount) if pcount > 1 else None
 
     weights = load_difficulty_weights(train_ds, difficulty_map) \
         if difficulty_map is not None else None
@@ -133,11 +146,16 @@ def fit(
                                     steps=steps_per_epoch, weights=weights,
                                     augment=augment, mosaic_p=mosaic_p,
                                     mixup_p=mixup_p,
-                                    copy_paste=copy_paste):
+                                    copy_paste=copy_paste,
+                                    process_slice=process_slice):
             batch.pop("sample_valid", None)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+            if process_slice is not None:
+                # per-host rows -> global batch-sharded jax.Arrays
+                batch = make_global_batch(batch, mesh, tc.batch_size)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
             state, aux = p_step(state, batch)
             losses.append(aux)
 
@@ -155,8 +173,19 @@ def fit(
                                       np.random.default_rng(0),
                                       shuffle=False, augment=False)
 
-            val_metrics = evaluate_model(model, eval_vars, val_batches,
-                                         mesh=mesh)
+            if pcount > 1:
+                # multi-host: every process validates the full val set
+                # locally and identically (deterministic batches), so the
+                # fitness/best decision stays in lockstep with no
+                # cross-host collective; process 0 alone writes artifacts
+                # (reference rank-0 validation semantics, trainer.py:197)
+                eval_vars = {k: jax.device_get(v)
+                             for k, v in eval_vars.items()}
+                val_metrics = evaluate_model(model, eval_vars, val_batches,
+                                             mesh=None)
+            else:
+                val_metrics = evaluate_model(model, eval_vars, val_batches,
+                                             mesh=mesh)
             epoch_metrics.update(val_metrics)
             fit_val = fitness(val_metrics)
         else:
@@ -165,39 +194,40 @@ def fit(
         epoch_metrics["fitness"] = fit_val
         epoch_metrics["time_s"] = time.time() - t0
         history.append(epoch_metrics)
-        log_fn(f"epoch {epoch}: loss={mean_loss:.4f} fitness={fit_val:.4f} "
-               f"map50={epoch_metrics.get('map50', float('nan')):.4f} "
-               f"small_f1={epoch_metrics.get('small_object_f1', float('nan')):.4f} "
-               f"({epoch_metrics['time_s']:.1f}s)")
+        if main:
+            log_fn(
+                f"epoch {epoch}: loss={mean_loss:.4f} fitness={fit_val:.4f} "
+                f"map50={epoch_metrics.get('map50', float('nan')):.4f} "
+                f"small_f1={epoch_metrics.get('small_object_f1', float('nan')):.4f} "
+                f"({epoch_metrics['time_s']:.1f}s)")
 
         save_vars = {k: jax.device_get(v) for k, v in eval_vars.items()}
-        ckpts.save(epoch, save_vars, fitness=fit_val)
+        if main:
+            ckpts.save(epoch, save_vars, fitness=fit_val)
         if fit_val > best_fit:
             best_fit = fit_val
             best_variables = save_vars
 
-        # full-state checkpoint for --resume (last.pt semantics): the whole
-        # TrainState plus the host data-RNG position so a resumed run is
-        # bit-identical to an uninterrupted one
-        from ..utils.checkpoint import save_msgpack
+        if main:
+            # full-state checkpoint for --resume (last.pt semantics): the
+            # whole TrainState plus the host data-RNG position so a resumed
+            # run is bit-identical to an uninterrupted one
+            from ..utils.checkpoint import save_msgpack
+            import json as _json
 
-        save_msgpack(state, resume_path)
-        import json as _json
+            save_msgpack(state, resume_path)
+            resume_meta_path.write_text(_json.dumps({
+                "epoch": epoch,
+                "best_fit": best_fit,
+                "rng_state": rng.bit_generator.state,
+            }))
 
-        resume_meta_path.write_text(_json.dumps({
-            "epoch": epoch,
-            "best_fit": best_fit,
-            "rng_state": rng.bit_generator.state,
-        }))
-
-        # append-only metrics log (results.csv analogue, machine-readable)
-        import json as _json
-
-        with open(output_dir / "history.jsonl", "a") as f:
-            f.write(_json.dumps(
-                {k: (float(v) if isinstance(v, (int, float)) else v)
-                 for k, v in epoch_metrics.items()
-                 if not isinstance(v, (list, dict))}) + "\n")
+            # append-only metrics log (results.csv analogue)
+            with open(output_dir / "history.jsonl", "a") as f:
+                f.write(_json.dumps(
+                    {k: (float(v) if isinstance(v, (int, float)) else v)
+                     for k, v in epoch_metrics.items()
+                     if not isinstance(v, (list, dict))}) + "\n")
 
     return FitResult(state=state, best_variables=best_variables,
                      metrics=history[-1] if history else {},

@@ -46,6 +46,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--optimizer", choices=("sgd", "adamw"), default="sgd")
     p.add_argument("--devices", type=int, default=None,
                    help="data-parallel device count (default: all)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host training: coordinator address "
+                        "host:port, or 'auto' for TPU-pod auto-detection "
+                        "(jax.distributed.initialize; the DDP launch "
+                        "equivalent, reference train.py:270-297)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host training: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host training: this process's rank")
     p.add_argument("--output-dir", default="runs/unina_dla")
     p.add_argument("--weights", default=None,
                    help="resume/start from a .msgpack checkpoint")
@@ -80,6 +89,15 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
+
+    from ..parallel.distributed import initialize_distributed, is_main_process
+
+    # must run before any device access; no-op without --coordinator /
+    # UNINA_COORDINATOR (single-host). tc.batch_size stays the GLOBAL batch.
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
+    main_proc = is_main_process()
+
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -120,9 +138,10 @@ def main(argv=None) -> dict:
                   n_devices=args.devices, seed=args.seed,
                   resume=args.resume)
         variables = res.best_variables
-        save_msgpack(variables, out_dir / "fp32" / "best.msgpack")
+        if main_proc:
+            save_msgpack(variables, out_dir / "fp32" / "best.msgpack")
+            print(f">>> Phase 1 complete: {res.metrics}")
         results["fp32"] = res.metrics
-        print(f">>> Phase 1 complete: {res.metrics}")
 
     # ---------- Phase 2: QAT ----------
     if not args.skip_qat:
@@ -137,10 +156,11 @@ def main(argv=None) -> dict:
         qat_model, qat_vars = prepare_qat_variables(
             model, variables, calib_batches,
             method=args.calib_method, max_batches=args.calib_batches)
-        save_calibration_cache(qat_vars["quant"],
-                               out_dir / "calibration.cache")
-        # the qat_init_calibrated.pt analogue: full calibrated variables
-        save_msgpack(qat_vars, out_dir / "qat_init_calibrated.msgpack")
+        if main_proc:
+            save_calibration_cache(qat_vars["quant"],
+                                   out_dir / "calibration.cache")
+            # the qat_init_calibrated.pt analogue: full calibrated variables
+            save_msgpack(qat_vars, out_dir / "qat_init_calibrated.msgpack")
 
         # QAT recipe: lr0=1e-3, no warmup, EMA off, augment off
         tc_qat = TrainConfig(lr0=1e-3, warmup_steps=1,
@@ -153,14 +173,15 @@ def main(argv=None) -> dict:
                   seed=args.seed, resume=args.resume)
         qat_best = dict(res.best_variables)
         qat_best["quant"] = qat_vars["quant"]
-        save_msgpack(qat_best, out_dir / "qat" / "best.msgpack")
+        if main_proc:
+            save_msgpack(qat_best, out_dir / "qat" / "best.msgpack")
+            print(f">>> Phase 2 complete: {res.metrics}")
         results["qat"] = res.metrics
         model, variables = qat_model, qat_best
-        print(f">>> Phase 2 complete: {res.metrics}")
 
-    # ---------- Conformal calibration (rank-0 only in DDP terms — here
-    # the single host simply runs it once) ----------
-    if args.calibrate_cp and val_ds is not None:
+    # ---------- Conformal calibration (rank-0 only: reference
+    # train.py:1064-1096 gates on RANK) ----------
+    if args.calibrate_cp and val_ds is not None and main_proc:
         print(">>> Conformal-prediction calibration")
         def cp_batches():
             return batch_iterator(val_ds, min(args.batch, len(val_ds)),
@@ -176,8 +197,8 @@ def main(argv=None) -> dict:
             # non-fatal, like the reference (train.py:1090-1094)
             print(f"WARNING: CP calibration failed: {e}")
 
-    # ---------- Export ----------
-    if args.export:
+    # ---------- Export (rank-0 only) ----------
+    if args.export and main_proc:
         from ..runtime.aot import export_serving_artifact
 
         print(">>> Exporting AOT serving artifact")
@@ -185,8 +206,9 @@ def main(argv=None) -> dict:
             model, variables, out_dir / "serving_artifact")
         results["export"] = str(artifact)
 
-    (out_dir / "results.json").write_text(
-        json.dumps(results, indent=2, default=str))
+    if main_proc:
+        (out_dir / "results.json").write_text(
+            json.dumps(results, indent=2, default=str))
     return results
 
 
