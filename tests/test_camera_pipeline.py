@@ -125,3 +125,72 @@ def test_batch_serving_matches_single(setup):
         np.testing.assert_allclose(np.asarray(d1.boxes),
                                    np.asarray(d_batch.boxes[b]),
                                    rtol=1e-3, atol=0.5)
+
+
+def test_nv12_camera_path_matches_rgb(setup):
+    """NV12 camera pipeline == RGB pipeline on the converted frame (the
+    nv12_to_rgb_normalize_kernel parity, cuda_preprocess.cu:212-253)."""
+    from unina_yolo_dla_tpu.ops.preprocess import nv12_to_rgb
+
+    cfg, model, variables = setup
+    rng = np.random.default_rng(3)
+    cam_h, cam_w = 48, 64
+    y = rng.integers(16, 235, (cam_h, cam_w), dtype=np.uint8)
+    uv = rng.integers(16, 240, (cam_h // 2, cam_w // 2, 2), dtype=np.uint8)
+    planar = np.concatenate(
+        [y.reshape(-1), uv.reshape(-1)]).reshape(cam_h * 3 // 2, cam_w)
+
+    serve_nv12 = jax.jit(build_camera_serving_fn(
+        model, cfg, cam_h, cam_w, "nv12"))
+    d_nv12 = serve_nv12(variables, jnp.asarray(planar))
+
+    rgb = np.asarray(nv12_to_rgb(jnp.asarray(y), jnp.asarray(uv)))
+    serve_rgb = jax.jit(build_camera_serving_fn(
+        model, cfg, cam_h, cam_w, "rgb"))
+    d_rgb = serve_rgb(variables, jnp.asarray(rgb.astype(np.uint8)))
+
+    # u8 rounding of the converted frame allows tiny score differences
+    np.testing.assert_allclose(np.asarray(d_nv12.scores),
+                               np.asarray(d_rgb.scores), atol=0.05)
+
+
+def test_camera_artifact_export_and_load(setup, tmp_path):
+    """export --camera HxW --format nv12 produces a loadable artifact
+    whose program consumes the RAW planar frame."""
+    from unina_yolo_dla_tpu.runtime.aot import (
+        ServingArtifact,
+        export_serving_artifact,
+    )
+
+    cfg, model, variables = setup
+    cam_h, cam_w = 48, 64
+    out = tmp_path / "cam_artifact"
+    export_serving_artifact(model, variables, out, max_detections=32,
+                            camera=(cam_h, cam_w, "nv12"))
+    art = ServingArtifact(out)
+    assert art.config["camera"] == {"height": cam_h, "width": cam_w,
+                                    "format": "nv12"}
+    planar = np.zeros((cam_h * 3 // 2, cam_w), np.uint8)
+    boxes, scores, classes, valid = jax.device_get(art(planar))
+    assert boxes.shape == (32, 4)
+    conf = (out / "pjrt_plugin.conf").read_text()
+    assert "in.format=nv12" in conf
+
+
+def test_batch_artifact_export_and_load(setup, tmp_path):
+    """export --batch N: multi-stream artifact with a leading stream
+    axis on every output."""
+    from unina_yolo_dla_tpu.runtime.aot import (
+        ServingArtifact,
+        export_serving_artifact,
+    )
+
+    cfg, model, variables = setup
+    out = tmp_path / "batch_artifact"
+    export_serving_artifact(model, variables, out, max_detections=32,
+                            batch=2)
+    art = ServingArtifact(out)
+    assert art.config["batch"] == 2
+    frames = np.zeros((2, cfg.input_size, cfg.input_size, 3), np.uint8)
+    boxes, scores, classes, valid = jax.device_get(art(frames))
+    assert boxes.shape == (2, 32, 4)

@@ -221,3 +221,59 @@ def test_embed_executor_nv12(artifact):
     count, = struct.unpack_from("<I", out, 0)
     assert count != 0xFFFFFFFF
     assert len(out) == 4 + count * 24
+
+
+def test_host_camera_resolution_bgra(native_build, tmp_path_factory,
+                                     tmp_path):
+    """Camera-path artifact end to end: raw BGRA frames at CAMERA
+    resolution (80x48 != model 64) flow through the native host; the
+    on-chip program does BGRA->RGB + MXU bilinear resize
+    (cuda_preprocess.cu:144-204 parity), no host-side conversion."""
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.runtime.aot import export_serving_artifact
+
+    cam_w, cam_h = 80, 48
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg)
+    art = tmp_path_factory.mktemp("camera_artifact")
+    export_serving_artifact(model, variables, art, max_detections=64,
+                            camera=(cam_h, cam_w, "bgra"))
+
+    ring = tmp_path / "frames_cam.ring"
+    dets = tmp_path / "dets_cam.out"
+    env = dict(os.environ)
+    env["UNINA_FORCE_CPU"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+
+    host = subprocess.Popen(
+        [str(native_build / "perception_host"),
+         "--artifact", str(art), "--ring", str(ring),
+         "--out", str(dets), "--input", str(IMG), "--classes", "4",
+         "--frame-width", str(cam_w), "--frame-height", str(cam_h),
+         "--max-frames", "3"],
+        env=env, stderr=subprocess.PIPE, text=True)
+
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce",
+         "--ring", str(ring), "--width", str(cam_w),
+         "--height", str(cam_h), "--frames", "3000", "--fps", "30",
+         "--slots", "4", "--format", "bgra"],
+        stderr=subprocess.PIPE, text=True)
+
+    try:
+        _, host_err = host.communicate(timeout=280)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=10)
+        if host.poll() is None:
+            host.kill()
+
+    assert host.returncode == 0, f"host failed:\n{host_err}"
+    assert "frames=3" in host_err
+    assert "geom=0" in host_err, host_err[-500:]
+
+    raw = dets.read_bytes()
+    seq, = struct.unpack_from("<Q", raw, 8)
+    assert seq > 0

@@ -1,0 +1,93 @@
+"""Native PJRT executor end-to-end: C++ host drives the TPU through the
+PJRT C API with no Python in the per-frame loop.
+
+Needs the axon relay plugin (/opt/axon/libaxon_pjrt.so) and the tunnel;
+skipped elsewhere. The artifact is exported from THIS process (CPU
+backend) with platforms=("tpu",) — jax.export cross-lowers, the plugin
+compiles on its side. Flow mirrors tests/test_native_host.py: cmake
+build, ring_tool producer, perception_host --executor pjrt consumer.
+"""
+import dataclasses
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+AXON_SO = Path("/opt/axon/libaxon_pjrt.so")
+REPO = Path(__file__).resolve().parent.parent
+NATIVE = REPO / "unina_yolo_dla_tpu" / "runtime" / "native"
+
+pytestmark = pytest.mark.skipif(
+    not AXON_SO.exists(), reason="axon PJRT plugin not available")
+
+
+@pytest.fixture(scope="module")
+def native_build():
+    build = NATIVE / "build"
+    subprocess.run(["cmake", "-S", str(NATIVE), "-B", str(build),
+                    "-G", "Ninja"], check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", str(build)], check=True,
+                   capture_output=True)
+    return build
+
+
+@pytest.fixture(scope="module")
+def tpu_artifact(tmp_path_factory):
+    """Tiny TPU-lowered artifact exported from the CPU-backend test
+    process (cross-platform lowering)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.runtime.aot import export_serving_artifact
+
+    out = tmp_path_factory.mktemp("pjrt_artifact")
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64,
+                      compute_dtype=jnp.float32)
+    model, variables = init_model(jax.random.key(0), cfg)
+    export_serving_artifact(model, variables, out, max_detections=64,
+                            platforms=("tpu",))
+    # conf must point at the axon plugin for the host
+    conf = (out / "pjrt_plugin.conf").read_text()
+    assert "libaxon_pjrt.so" in conf, conf
+    return out
+
+
+def test_pjrt_host_end_to_end(native_build, tpu_artifact, tmp_path):
+    ring = "/dev/shm/unina_pjrt_test_frames"
+    dets = "/dev/shm/unina_pjrt_test_dets"
+    for p in (ring, dets):
+        if os.path.exists(p):
+            os.unlink(p)
+
+    # long-lived producer: the host's configure (remote compile) takes
+    # tens of seconds; newest-frame drop handles the backlog
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce", "--ring", ring,
+         "--width", "64", "--height", "64", "--frames", "30000",
+         "--fps", "60"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        host = subprocess.run(
+            [str(native_build / "perception_host"),
+             "--artifact", str(tpu_artifact), "--ring", ring,
+             "--out", dets, "--input", "64", "--classes", "4",
+             "--executor", "pjrt", "--max-frames", "25"],
+            capture_output=True, text=True, timeout=540)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=30)
+
+    assert host.returncode == 0, host.stderr[-4000:]
+    assert "executor=pjrt" in host.stderr
+    assert "[executor_pjrt] configured" in host.stderr
+    # processed the requested frames and published latency stats
+    assert "frames=25" in host.stderr, host.stderr[-1000:]
+
+    # detections block exists and carries a plausible result_seq
+    blob = Path(dets).read_bytes()
+    assert len(blob) > 16

@@ -17,7 +17,7 @@ import dataclasses
 from .models.config import ModelConfig
 from .models.detector import UninaYoloDla, init_model
 from .quant.deploy import fold_batchnorm, quantize_weights_int8
-from .quant.fake_quant import QuantSpec
+from .quant.fake_quant import PERF_EXCLUDE, QuantSpec
 from .quant.qat import make_qat_model
 from .train.conformal import load_cp_q
 from .runtime.aot import export_serving_artifact
@@ -50,9 +50,24 @@ def main(argv=None) -> None:
                         "graph optimisation; drops batch_stats from the "
                         "artifact)")
     p.add_argument("--int8", action="store_true",
-                   help="export the TRUE int8 engine (int8 weights + int8 "
-                        "activations -> int32 MXU accumulation); requires a "
+                   help="export the TRUE int8 engine (fused int8 chain: "
+                        "int8 weights + int8 inter-layer activations -> "
+                        "int32 MXU accumulation, mixed-precision per the "
+                        "measured v5e exclusion list); requires a "
                         "calibrated (QAT) checkpoint and implies --fold-bn")
+    p.add_argument("--int8-unfused", action="store_true",
+                   help="with --int8: round-1 engine (dequant to bf16 "
+                        "between layers) instead of the fused chain")
+    p.add_argument("--camera", default=None, metavar="HxW",
+                   help="export the camera-path artifact: raw frames at "
+                        "this resolution, on-chip convert + MXU resize "
+                        "(cuda_preprocess.cu:144-253 parity)")
+    p.add_argument("--format", default="bgra",
+                   choices=("bgra", "rgb", "nv12"),
+                   help="camera pixel format (with --camera)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="export the multi-stream artifact taking "
+                        "(N, S, S, 3) RGB frames")
     args = p.parse_args(argv)
 
     variables = load_msgpack_raw(args.weights)
@@ -69,11 +84,29 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
     if args.int8:
-        spec = QuantSpec(mode="int8")
+        if not args.int8_unfused:
+            flat = jax.tree_util.tree_flatten_with_path(
+                variables.get("quant", {}))[0]
+            has_out_q = any(
+                "out_q" in "/".join(str(getattr(k, "key", k)) for k in p)
+                for p, _ in flat)
+            if not has_out_q:
+                raise SystemExit(
+                    "--int8 (fused engine) needs out_q/add_q activation "
+                    "amaxes, which this checkpoint's calibration predates "
+                    "— re-run phase-2 calibration (train CLI) or pass "
+                    "--int8-unfused for the round-1 engine")
+        if args.int8_unfused:
+            spec = QuantSpec(mode="int8")
+        else:
+            # fused chain with the measured mixed-precision list — the
+            # fastest engine on v5e (RESULTS.md)
+            spec = QuantSpec(mode="int8_fused", exclude=PERF_EXCLUDE)
         variables = quantize_weights_int8(variables, spec)
         cfg = dataclasses.replace(cfg, quant=spec)
         model = UninaYoloDla(cfg)
-        print(">>> int8 engine: weights quantised, integer conv path on")
+        print(f">>> int8 engine ({spec.mode}): weights quantised, "
+              "integer conv path on")
     elif quantized:
         model = make_qat_model(cfg)
         print(">>> quantized checkpoint detected: exporting int8-QAT "
@@ -86,11 +119,15 @@ def main(argv=None) -> None:
          if args.cp_calibration else args.q)
     platforms = (tuple(args.platforms.split(","))
                  if args.platforms else None)
+    camera = None
+    if args.camera:
+        h, w = (int(v) for v in args.camera.lower().split("x"))
+        camera = (h, w, args.format)
     out = export_serving_artifact(
         model, variables, args.output,
         conf_threshold=args.conf, iou_threshold=args.iou, q_factor=q,
         max_detections=args.max_detections, strict=not args.no_strict,
-        platforms=platforms)
+        platforms=platforms, camera=camera, batch=args.batch)
     print(f">>> artifact written to {out} (q={q})")
 
 

@@ -40,7 +40,12 @@ from ..models.config import (
     ModelConfig,
 )
 from ..utils.checkpoint import load_msgpack_raw, save_msgpack
-from .pipeline import build_serving_fn
+from .pipeline import (
+    build_batch_serving_fn,
+    build_camera_serving_fn,
+    build_serving_fn,
+)
+from .pjrt_conf import write_pjrt_conf
 
 # custom_call targets that imply a host round-trip inside the graph
 _HOST_CALLBACK_PATTERNS = (
@@ -108,23 +113,55 @@ def export_serving_artifact(
     max_detections: int = MAX_DETECTIONS,
     strict: bool = True,
     platforms: tuple[str, ...] | None = None,
+    camera: tuple[int, int, str] | None = None,
+    batch: int | None = None,
 ) -> Path:
     """Serialize the fused frame->boxes program + weights + config.
 
     ``platforms``: lowering targets, e.g. ("cpu", "tpu") for a portable
     artifact (the multi-arch engine TensorRT cannot build); None lowers
     for the current backend only.
+
+    ``camera=(height, width, format)``: export the camera-path program
+    instead — raw BGRA/RGB/NV12 at camera resolution in, on-chip colour
+    convert + MXU bilinear resize baked into the graph (the
+    resize_bgra_to_rgb_normalize_kernel / nv12 kernel parity,
+    cuda_preprocess.cu:144-253). ``batch=N``: export the multi-stream
+    program taking (N, S, S, 3) RGB frames. Mutually exclusive.
     """
     cfg: ModelConfig = model.config
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    if camera is not None and batch is not None:
+        raise ValueError("camera and batch exports are mutually exclusive")
 
-    serve = build_serving_fn(model, cfg, conf_threshold, iou_threshold,
-                             q_factor, max_detections)
+    if camera is not None:
+        cam_h, cam_w, cam_fmt = camera
+        if cam_fmt not in ("rgb", "bgra", "nv12"):
+            raise ValueError(f"unknown camera format {cam_fmt!r}")
+        if cam_fmt == "nv12" and (cam_h % 2 or cam_w % 2):
+            raise ValueError("NV12 camera dims must be even")
+        serve = build_camera_serving_fn(
+            model, cfg, cam_h, cam_w, cam_fmt, conf_threshold,
+            iou_threshold, q_factor, max_detections)
+        frame_shape = {
+            "rgb": (cam_h, cam_w, 3),
+            "bgra": (cam_h, cam_w, 4),
+            "nv12": (cam_h * 3 // 2, cam_w),
+        }[cam_fmt]
+    elif batch is not None:
+        serve = build_batch_serving_fn(model, cfg, conf_threshold,
+                                       iou_threshold, q_factor,
+                                       max_detections)
+        frame_shape = (batch, cfg.input_size, cfg.input_size, 3)
+    else:
+        serve = build_serving_fn(model, cfg, conf_threshold, iou_threshold,
+                                 q_factor, max_detections)
+        frame_shape = (cfg.input_size, cfg.input_size, 3)
+
     v = {k: variables[k] for k in ("params", "batch_stats", "quant")
          if k in variables}
-    frame_spec = jax.ShapeDtypeStruct(
-        (cfg.input_size, cfg.input_size, 3), jnp.uint8)
+    frame_spec = jax.ShapeDtypeStruct(frame_shape, jnp.uint8)
     v_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), v)
 
@@ -138,6 +175,44 @@ def export_serving_artifact(
     exported = jax_export.export(fn, platforms=platforms)(v_spec, frame_spec)
     (output_dir / "serving.stablehlo").write_bytes(exported.serialize())
     save_msgpack(v, output_dir / "variables.msgpack")
+
+    # Weights-baked companion program for the NATIVE PJRT executor
+    # (runtime/native/src/executor_pjrt.cpp): a frame-only-input StableHLO
+    # bytecode module with the variables embedded as constants, plus the
+    # serialized default CompileOptions proto PJRT_Client_Compile needs.
+    # This is the piece that lets C++ drive the chip with no Python in
+    # the loop (the TensorRT-engine-file analogue, perception_node.cpp
+    # :430-437 loads exactly one self-contained blob).
+    #
+    # Output is ONE packed (K, 7) f32 tensor [x1,y1,x2,y2,score,cls,valid]
+    # so the native hot loop has a single device->host read — the same
+    # single-sync discipline as the reference's compacted-detections copy
+    # (gpu_postprocess.cu:395-442, one D2H per frame).
+    v_const = jax.tree.map(jnp.asarray, v)
+
+    def serve_packed(frame):
+        dets = serve(v_const, frame)
+        # (..., K, 7); batch exports gain a leading stream axis
+        return jnp.concatenate([
+            dets.boxes.astype(jnp.float32),
+            dets.scores.astype(jnp.float32)[..., None],
+            dets.classes.astype(jnp.float32)[..., None],
+            dets.valid.astype(jnp.float32)[..., None],
+        ], axis=-1)
+
+    baked_platforms = None
+    if platforms and len(platforms) == 1:
+        baked_platforms = platforms  # multi-platform adds an index arg
+    baked = jax_export.export(
+        jax.jit(serve_packed), platforms=baked_platforms)(frame_spec)
+    (output_dir / "serving_baked.stablehlo").write_bytes(
+        baked.mlir_module_serialized)
+    from jax._src.lib import xla_client as _xc
+
+    (output_dir / "compile_options.pb").write_bytes(
+        _xc.CompileOptions().SerializeAsString())
+    write_pjrt_conf(output_dir, max_detections=max_detections,
+                    camera=camera, batch=batch)
     (output_dir / "config.json").write_text(json.dumps({
         "num_classes": cfg.num_classes,
         "base_channels": cfg.base_channels,
@@ -150,6 +225,9 @@ def export_serving_artifact(
         "max_detections": max_detections,
         "output_bytes": report.output_bytes,
         "platforms": list(exported.platforms),
+        "camera": ({"height": camera[0], "width": camera[1],
+                    "format": camera[2]} if camera else None),
+        "batch": batch,
     }, indent=2))
     (output_dir / "fallback_report.json").write_text(json.dumps(
         dataclasses.asdict(report), indent=2))

@@ -33,15 +33,38 @@ def make_executor(artifact_dir: str, expected_input: int = 640,
     artifact = ServingArtifact(artifact_dir)
     validate_artifact_shapes(artifact, expected_input, expected_classes)
 
-    # warm-compile so the first real frame is retrace-free
-    dummy = np.zeros((expected_input, expected_input, 3), np.uint8)
-    jax.block_until_ready(artifact(dummy))
+    # camera-path artifact: the program takes RAW camera frames (BGRA /
+    # NV12 / RGB at camera resolution) — colour conversion and resize run
+    # on-chip, so this executor passes ring bytes straight through
+    camera = artifact.config.get("camera")
+
+    if camera:
+        cam_h, cam_w, cam_fmt = (camera["height"], camera["width"],
+                                 camera["format"])
+        warm_shape = {"rgb": (cam_h, cam_w, 3),
+                      "bgra": (cam_h, cam_w, 4),
+                      "nv12": (cam_h * 3 // 2, cam_w)}[cam_fmt]
+        jax.block_until_ready(artifact(np.zeros(warm_shape, np.uint8)))
+    else:
+        dummy = np.zeros((expected_input, expected_input, 3), np.uint8)
+        jax.block_until_ready(artifact(dummy))
 
     s = expected_input
+    fmt_channels = {"rgb": 3, "bgra": 4, "nv12": 0}
 
     def execute(buf, width: int, height: int, channels: int) -> bytes:
         frame = np.frombuffer(buf, np.uint8)
-        if channels == 0:  # NV12 sentinel: planar Y + interleaved UV
+        if camera:
+            if (height, width, channels) != (cam_h, cam_w,
+                                             fmt_channels[cam_fmt]):
+                return struct.pack("<I", 0xFFFFFFFF)
+            if channels == 0:
+                frame = frame[: cam_h * cam_w * 3 // 2].reshape(
+                    cam_h * 3 // 2, cam_w)
+            else:
+                frame = frame[: cam_h * cam_w * channels].reshape(
+                    cam_h, cam_w, channels)
+        elif channels == 0:  # NV12 sentinel: planar Y + interleaved UV
             n_y = height * width
             y = frame[:n_y].reshape(height, width)
             uv = frame[n_y:n_y + n_y // 2].reshape(height // 2,
@@ -54,7 +77,7 @@ def make_executor(artifact_dir: str, expected_input: int = 640,
                 height, width, channels)
             if channels == 4:  # BGRA -> RGB
                 frame = np.ascontiguousarray(frame[..., 2::-1])
-        if (height, width) != (s, s):
+        if not camera and (height, width) != (s, s):
             return struct.pack("<I", 0xFFFFFFFF)  # geometry error sentinel
 
         boxes, scores, classes, valid = jax.device_get(artifact(frame))

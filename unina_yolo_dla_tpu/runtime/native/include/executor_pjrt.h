@@ -1,0 +1,36 @@
+#pragma once
+
+#include <cstdint>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "executor.h"
+
+namespace unina {
+
+// Native PJRT-C-API executor: dlopens a PJRT plugin (libaxon_pjrt.so /
+// libtpu.so — path + client options from the artifact's
+// pjrt_plugin.conf), compiles the weights-baked serving program
+// (serving_baked.stablehlo) once at configure time, then executes it per
+// frame with zero Python in the loop — the full analogue of the
+// reference's TensorRT enqueueV3 hot path (perception_node.cpp:581-688).
+class PjrtExecutor : public Executor {
+ public:
+  // Throws std::runtime_error on any configure-time failure (missing
+  // plugin/artifact files, client creation, compilation).
+  PjrtExecutor(const std::string& artifact_dir, int input_size,
+               int num_classes);
+  ~PjrtExecutor() override;
+  PjrtExecutor(const PjrtExecutor&) = delete;
+  PjrtExecutor& operator=(const PjrtExecutor&) = delete;
+
+  InferStatus infer(const uint8_t* frame, int width, int height,
+                    int channels, std::vector<Detection>* out) override;
+
+ private:
+  struct Impl;
+  std::unique_ptr<Impl> impl_;
+};
+
+}  // namespace unina

@@ -12,7 +12,11 @@
 // Usage:
 //   perception_host --artifact DIR --ring /dev/shm/unina_frames
 //                   --out /dev/shm/unina_dets [--input 640] [--classes 4]
-//                   [--max-frames N]
+//                   [--max-frames N] [--executor python|pjrt]
+//
+// --executor pjrt drives the chip through the PJRT C API with no Python
+// in the per-frame loop (executor_pjrt.cpp); python (default) embeds
+// CPython over the jax.export artifact — the portable fallback.
 #include <fcntl.h>
 #include <signal.h>
 #include <sys/mman.h>
@@ -24,6 +28,7 @@
 #include <cstring>
 #include <string>
 
+#include "executor_pjrt.h"
 #include "executor_py.h"
 #include "frame_ring.hpp"
 #include "latency.hpp"
@@ -57,8 +62,8 @@ void* map_file(const char* path, size_t* out_len, bool create, size_t len) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  std::string artifact, ring_path, out_path;
-  int input_size = 640, num_classes = 4;
+  std::string artifact, ring_path, out_path, executor_kind = "python";
+  int input_size = 640, num_classes = 4, frame_w = 0, frame_h = 0;
   long max_frames = -1;
 
   for (int i = 1; i < argc - 1; ++i) {
@@ -69,6 +74,17 @@ int main(int argc, char** argv) {
     else if (a == "--input") input_size = std::atoi(argv[++i]);
     else if (a == "--classes") num_classes = std::atoi(argv[++i]);
     else if (a == "--max-frames") max_frames = std::atol(argv[++i]);
+    else if (a == "--executor") executor_kind = argv[++i];
+    else if (a == "--frame-width") frame_w = std::atoi(argv[++i]);
+    else if (a == "--frame-height") frame_h = std::atoi(argv[++i]);
+  }
+  // camera-path artifacts accept raw camera-resolution frames; the
+  // pre-guard geometry defaults to the model input for square artifacts
+  if (frame_w == 0) frame_w = input_size;
+  if (frame_h == 0) frame_h = input_size;
+  if (executor_kind != "python" && executor_kind != "pjrt") {
+    std::fprintf(stderr, "FATAL: --executor must be python or pjrt\n");
+    return 2;
   }
   if (artifact.empty() || ring_path.empty() || out_path.empty()) {
     std::fprintf(stderr,
@@ -115,13 +131,18 @@ int main(int argc, char** argv) {
 
   // --- lifecycle ---
   unina::Lifecycle lc;
-  unina::PyExecutor* exec = nullptr;
+  unina::Executor* exec = nullptr;
   lc.on_configure([&] {
     // engine-vs-config validation happens inside (aot.validate_artifact_
     // shapes parity with perception_node.cpp:440-457) + warm compile
-    exec = new unina::PyExecutor(artifact, input_size, num_classes);
-    std::fprintf(stderr, "[perception_host] configured (artifact=%s)\n",
-                 artifact.c_str());
+    if (executor_kind == "pjrt") {
+      exec = new unina::PjrtExecutor(artifact, input_size, num_classes);
+    } else {
+      exec = new unina::PyExecutor(artifact, input_size, num_classes);
+    }
+    std::fprintf(stderr,
+                 "[perception_host] configured (artifact=%s executor=%s)\n",
+                 artifact.c_str(), executor_kind.c_str());
   });
   lc.on_cleanup([&] {
     delete exec;
@@ -168,14 +189,13 @@ int main(int argc, char** argv) {
     // per-frame guard: geometry must match the configured artifact for
     // EVERY pixel format (perception_node.cpp:588-596 policy) — wrong-
     // geometry BGRA/NV12 must not reach the executor either
-    if (static_cast<int>(w) != input_size ||
-        static_cast<int>(h) != input_size) {
+    if (static_cast<int>(w) != frame_w || static_cast<int>(h) != frame_h) {
       if (++geom_drops == 1 || geom_drops % 64 == 0) {
         std::fprintf(stderr,
                      "WARNING: dropping %llu frame(s) with geometry %ux%u "
                      "!= configured %dx%d\n",
-                     (unsigned long long)geom_drops, w, h, input_size,
-                     input_size);
+                     (unsigned long long)geom_drops, w, h, frame_w,
+                     frame_h);
       }
       continue;
     }

@@ -23,7 +23,7 @@ from ..models.config import (
 )
 from ..ops.decode import Detections, decode_outputs
 from ..ops.nms import nms, nms_fast
-from ..ops.preprocess import normalize, resize_bilinear_mxu
+from ..ops.preprocess import normalize, nv12_to_rgb, resize_bilinear_mxu
 
 
 def build_serving_fn(
@@ -119,7 +119,7 @@ def build_camera_serving_fn(
     cfg: ModelConfig,
     camera_height: int,
     camera_width: int,
-    camera_format: str = "bgra",   # "bgra" | "rgb"
+    camera_format: str = "bgra",   # "bgra" | "rgb" | "nv12"
     conf_threshold: float = DEFAULT_CONF_THRESHOLD,
     iou_threshold: float = DEFAULT_IOU_THRESHOLD,
     q_factor: float = DEFAULT_CP_Q,
@@ -127,20 +127,30 @@ def build_camera_serving_fn(
 ) -> Callable[[Any, jnp.ndarray], Detections]:
     """Full camera-path pipeline: raw camera-resolution frame on-chip.
 
-    Parity with the reference's fused resize kernel
-    (``resize_bgra_to_rgb_normalize_kernel``, cuda_preprocess.cu:144-204):
-    BGRA/RGB at camera resolution -> bilinear resize (two interpolation
+    Parity with the reference's fused preprocess kernels
+    (``resize_bgra_to_rgb_normalize_kernel`` cuda_preprocess.cu:144-204,
+    ``nv12_to_rgb_normalize_kernel`` :212-253): BGRA/RGB/NV12 at camera
+    resolution -> colour convert -> bilinear resize (two interpolation
     MATMULS on the MXU — the TPU-native gather replacement) -> ImageNet
-    normalise -> forward -> decode -> NMS, all one XLA program. Detected
-    boxes are returned in MODEL pixel space; multiply by
+    normalise -> forward -> decode -> NMS, all one XLA program. Frame
+    input shapes: rgb (H,W,3) u8, bgra (H,W,4) u8, nv12 (H*3/2, W) u8
+    planar (Y then interleaved UV — the shm-ring layout). Detected boxes
+    are returned in MODEL pixel space; multiply by
     ``camera_{width,height} / cfg.input_size`` to map back.
     """
     s = cfg.input_size
+    ch, cw = camera_height, camera_width
 
     def serve(variables, frame: jnp.ndarray) -> Detections:
         if camera_format == "bgra":
-            frame = frame[..., 2::-1]  # BGRA -> RGB (drop alpha)
-        resized = resize_bilinear_mxu(frame.astype(jnp.float32), s, s)
+            rgb = frame[..., 2::-1].astype(jnp.float32)  # drop alpha
+        elif camera_format == "nv12":
+            y = frame[:ch].reshape(ch, cw)
+            uv = frame[ch:].reshape(ch // 2, cw // 2, 2)
+            rgb = nv12_to_rgb(y, uv)
+        else:
+            rgb = frame.astype(jnp.float32)
+        resized = resize_bilinear_mxu(rgb, s, s)
         x = normalize(resized / 255.0)[None]
         outputs = model.apply(variables, x, train=False)
         dets = decode_outputs(
