@@ -36,6 +36,32 @@ class SynthConfig:
     max_height: int = 90
     large_class_scale: float = 1.5
     seed: int = 42
+    # --- hard-regime knobs (all off by default; see HARD preset) ---
+    # fraction of cones forced into the 8-15 px small-object band — the
+    # 20 m+ cone mission profile (reference README.md:19: 10-15 px)
+    small_fraction: float = 0.0
+    # unlabeled distractor shapes (false-positive bait): gray rocks,
+    # white line fragments, grass patches
+    clutter: int = 0
+    # probability a cone's lower part is occluded after drawing (label
+    # keeps the full extent — localisation must infer it)
+    occlusion_p: float = 0.0
+    # background noise amplitude (+/-)
+    noise: int = 18
+
+
+# The "hard" evaluation regime (VERDICT r1 weakness #3: the default set
+# saturates at mAP50 ~0.99, where the int8 "within 1 pt" acceptance bar
+# cannot fail). Dominantly 8-15 px cones, dense scenes, clutter and
+# occlusion; pair with a >=200-image val split.
+HARD = SynthConfig(
+    min_cones=6, max_cones=18,
+    min_height=8, max_height=60,
+    small_fraction=0.7,
+    clutter=12,
+    occlusion_p=0.3,
+    noise=26,
+)
 
 
 def _draw_triangle(img: np.ndarray, cx: float, by: float, w: float, h: float,
@@ -84,7 +110,8 @@ def generate_image(
     img = np.full((s, s, 3), base, np.uint8)
     grad = np.linspace(0, rng.integers(10, 50), s, dtype=np.int16)
     img = np.clip(img.astype(np.int16) + grad[:, None, None]
-                  + rng.integers(-18, 18, (s, s, 3), dtype=np.int16),
+                  + rng.integers(-cfg.noise, cfg.noise, (s, s, 3),
+                                 dtype=np.int16),
                   0, 255).astype(np.uint8)
 
     n = int(rng.integers(cfg.min_cones, cfg.max_cones + 1))
@@ -95,9 +122,33 @@ def generate_image(
     max_h = min(cfg.max_height, s // 3)
     min_h = min(cfg.min_height, max(max_h - 1, 2))
 
+    # unlabeled clutter first, so cones may partially overlay it (the
+    # false-positive bait of real scenes: rocks, track lines, grass)
+    for _ in range(cfg.clutter):
+        kind = int(rng.integers(0, 3))
+        ch = float(rng.uniform(4, 26))
+        cx = float(rng.uniform(ch, s - ch))
+        cy = float(rng.uniform(ch, s - ch))
+        if kind == 0:    # gray rock (rectangle)
+            color = tuple(int(v) for v in rng.integers(70, 130, 3))
+            x0, y0 = int(cx - ch / 2), int(cy - ch / 3)
+            img[max(y0, 0):int(cy + ch / 3),
+                max(x0, 0):int(cx + ch / 2)] = color
+        elif kind == 1:  # white line fragment
+            y0 = int(cy)
+            img[max(y0, 0):min(y0 + 3, s),
+                max(int(cx - ch), 0):min(int(cx + ch), s)] = (235, 235, 235)
+        else:            # grass/vegetation patch (greenish triangle)
+            _draw_triangle(img, cx, cy, ch * 1.4, ch * 0.8,
+                           (40, int(rng.integers(120, 180)), 50))
+
     for _ in range(n):
         cls = int(rng.integers(0, 4))
-        h = float(rng.uniform(min_h, max_h))
+        if cfg.small_fraction > 0 and rng.uniform() < cfg.small_fraction:
+            # the 20 m+ band: 8-15 px cones (mAP_small regime, <15 px)
+            h = float(rng.uniform(8, 15))
+        else:
+            h = float(rng.uniform(min_h, max_h))
         w = h * (0.85 if cls != 3 else cfg.large_class_scale * 0.6)
         for _attempt in range(20):
             cx = float(rng.uniform(w / 2 + 2, s - w / 2 - 2))
@@ -114,6 +165,14 @@ def generate_image(
         _draw_triangle(img, cx, by, w, h, CLASS_COLORS[cls])
         if h > 14:
             _add_stripe(img, cx, by, w, h)
+        if cfg.occlusion_p > 0 and rng.uniform() < cfg.occlusion_p:
+            # occlude the cone's lower band with a background-ish block;
+            # the label keeps the full extent
+            occ_h = h * float(rng.uniform(0.15, 0.4))
+            color = tuple(int(v) for v in rng.integers(60, 140, 3))
+            img[max(int(by - occ_h), 0):min(int(by) + 1, s),
+                max(int(cx - w / 2) - 1, 0):min(int(cx + w / 2) + 1, s)] = \
+                color
         labels.append((cls, cx / s, (y1b + y2b) / 2 / s, w / s, h / s))
 
     return img, labels
@@ -179,8 +238,13 @@ def main() -> None:
     p.add_argument("--num-val", type=int, default=10)
     p.add_argument("--image-size", type=int, default=640)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--hard", action="store_true",
+                   help="hard regime: 70%% cones in the 8-15 px band, "
+                        "clutter, occlusion (the mAP_small stress set)")
     args = p.parse_args()
-    cfg = SynthConfig(image_size=args.image_size, seed=args.seed)
+    base = HARD if args.hard else SynthConfig()
+    cfg = dataclasses.replace(base, image_size=args.image_size,
+                              seed=args.seed)
     path = generate_dataset(args.output, args.num_train, args.num_val, cfg)
     print(f"dataset yaml: {path}")
 
