@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Engine quality comparison: FP32 / QAT-sim / int8-unfused / int8-fused.
+
+The measurement VERDICT r1 asked for: report mAP50, mAP50-95 and the
+small-object metrics for every deployable engine on a NON-saturated set
+(pair with data.synthetic --hard), so the reference's "int8 within 1 pt
+of FP32" acceptance bar (README.md:34) is tested where it can fail.
+
+Usage:
+  python tools/compare_engines.py --data hard/fsd_synth.yaml \
+      --fp32 runs/fp32/best.msgpack --qat runs/qat/best.msgpack \
+      [--base-channels 32] [--imgsz 640] [--json out.json]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from unina_yolo_dla_tpu.data.dataset import (  # noqa: E402
+    YoloDataset,
+    batch_iterator,
+    load_dataset_yaml,
+)
+from unina_yolo_dla_tpu.evaluate import evaluate_model  # noqa: E402
+from unina_yolo_dla_tpu.models.config import ModelConfig  # noqa: E402
+from unina_yolo_dla_tpu.models.detector import UninaYoloDla  # noqa: E402
+from unina_yolo_dla_tpu.quant.deploy import (  # noqa: E402
+    fold_batchnorm,
+    quantize_weights_int8,
+)
+from unina_yolo_dla_tpu.quant.fake_quant import (  # noqa: E402
+    PERF_EXCLUDE,
+    QuantSpec,
+)
+from unina_yolo_dla_tpu.utils.checkpoint import load_msgpack_raw  # noqa: E402
+
+COLS = ("map50", "map50_95", "small_object_precision",
+        "small_object_recall", "small_object_f1")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--fp32", required=True, help="phase-1 best.msgpack")
+    p.add_argument("--qat", required=True,
+                   help="phase-2 best.msgpack (params + quant)")
+    p.add_argument("--base-channels", type=int, default=32)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--max-boxes", type=int, default=60)
+    p.add_argument("--json", default=None)
+    args = p.parse_args()
+
+    spec = load_dataset_yaml(args.data)
+    val_ds = YoloDataset(spec["val"], img_size=args.imgsz,
+                         max_boxes=args.max_boxes)
+    cfg = ModelConfig(num_classes=spec["nc"],
+                      base_channels=args.base_channels,
+                      input_size=args.imgsz)
+
+    def batches():
+        return batch_iterator(val_ds, min(args.batch, len(val_ds)),
+                              np.random.default_rng(0), shuffle=False,
+                              augment=False)
+
+    fp32_vars = load_msgpack_raw(args.fp32)
+    qat_vars = load_msgpack_raw(args.qat)
+    folded = fold_batchnorm(qat_vars)
+
+    engines = {
+        "fp32": (UninaYoloDla(cfg), fp32_vars),
+        "qat_sim": (UninaYoloDla(cfg.with_quant("quantize")), qat_vars),
+        "int8_unfused": (
+            UninaYoloDla(dataclasses.replace(
+                cfg, deploy=True, quant=QuantSpec(mode="int8"))),
+            quantize_weights_int8(folded, QuantSpec(mode="int8"))),
+        "int8_fused": (
+            UninaYoloDla(dataclasses.replace(
+                cfg, deploy=True,
+                quant=QuantSpec(mode="int8_fused", exclude=PERF_EXCLUDE))),
+            quantize_weights_int8(
+                folded, QuantSpec(mode="int8_fused",
+                                  exclude=PERF_EXCLUDE))),
+    }
+
+    results = {}
+    for name, (model, variables) in engines.items():
+        m = evaluate_model(model, variables, batches,
+                           conf_threshold=args.conf)
+        results[name] = {k: float(m.get(k, float("nan"))) for k in COLS}
+        print(f"{name:14s} " + " ".join(
+            f"{k}={results[name][k]:.4f}" for k in COLS), flush=True)
+
+    base = results["fp32"]["map50_95"]
+    for name in ("qat_sim", "int8_unfused", "int8_fused"):
+        delta = (results[name]["map50_95"] - base) * 100
+        results[name]["delta_map50_95_pts"] = round(delta, 2)
+        print(f"{name}: mAP50-95 delta vs fp32 = {delta:+.2f} pts")
+
+    if args.json:
+        Path(args.json).write_text(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
