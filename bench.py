@@ -45,6 +45,7 @@ from unina_yolo_dla_tpu.models import ModelConfig, init_model
 from unina_yolo_dla_tpu.models.detector import UninaYoloDla
 from unina_yolo_dla_tpu.quant.calibrate import select_amax
 from unina_yolo_dla_tpu.quant.deploy import fold_batchnorm, quantize_weights_int8
+from unina_yolo_dla_tpu.ops.preprocess import ensure_normalized
 from unina_yolo_dla_tpu.quant.fake_quant import PERF_EXCLUDE, QuantSpec
 from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
 
@@ -143,7 +144,9 @@ def forward_flops(model, variables, batch: int) -> float | None:
 def build_int8_fused(cfg, variables, frame) -> tuple[Any, dict]:
     """Calibrate (1-batch max) + BN-fold + weight-quantise -> fused engine."""
     calib_model = UninaYoloDla(cfg.with_quant("calib_max"))
-    x = (frame.astype(jnp.float32) / 255.0)[None]
+    # calibrate on what the model actually sees: the serving pipeline's
+    # ImageNet-normalised input, not bare [0,1] pixels
+    x = ensure_normalized(frame[None])
     _, mut = jax.jit(
         lambda v, xx: calib_model.apply(v, xx, train=False,
                                         mutable=["quant_calib"])

@@ -1,5 +1,6 @@
 """Synthetic generator + dataset/batch pipeline tests (the dry-run data
 path, parity with run_local_debug.sh's synthetic-then-train flow)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -12,6 +13,7 @@ from unina_yolo_dla_tpu.data import (
     load_dataset_yaml,
     load_difficulty_weights,
     mosaic4,
+    normalize_images,
     validate_labels,
 )
 
@@ -74,13 +76,21 @@ def test_batch_iterator_shapes(synth_root):
     assert len(batches) == 2
     b = batches[0]
     assert b["images"].shape == (4, 96, 96, 3)
-    assert b["images"].dtype == np.float32
+    # uint8 across the host->device boundary; device-side normalisation
+    # (ops.preprocess.ensure_normalized) is the batch contract
+    assert b["images"].dtype == np.uint8
     assert b["boxes"].shape == (4, 16, 4)
     assert b["labels"].shape == (4, 16)
     assert b["mask"].dtype == bool
     assert b["mask"].any()
-    # ImageNet normalisation: gray 114 -> ~(-0.2..0.1) range, never 0..255
-    assert abs(b["images"]).max() < 4.0
+    # ensure_normalized: uint8 -> ImageNet-normalised f32, float untouched
+    from unina_yolo_dla_tpu.ops.preprocess import ensure_normalized
+    x = np.asarray(ensure_normalized(jnp.asarray(b["images"])))
+    assert x.dtype == np.float32 and abs(x).max() < 4.0
+    ref = normalize_images(b["images"])
+    np.testing.assert_allclose(x, ref, atol=1e-6)
+    again = np.asarray(ensure_normalized(jnp.asarray(x)))
+    np.testing.assert_array_equal(again, x)
 
 
 def test_weighted_sampling_prefers_difficult(synth_root):

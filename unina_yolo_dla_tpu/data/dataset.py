@@ -11,8 +11,10 @@ Replaces the reference's torch Dataset/DataLoader stack
   data_loader.py:152-228: min weight 0.1, missing images default 1.0).
 - fixed ``max_boxes`` padding -> static shapes for jit.
 
-Batches are dicts of numpy arrays: images (B,S,S,3) float32 ImageNet-
-normalised NHWC, boxes (B,G,4) xyxy px, labels (B,G) int32, mask (B,G).
+Batches are dicts of numpy arrays: images (B,S,S,3) uint8 RGB NHWC
+(normalised ON DEVICE by ``ops.preprocess.ensure_normalized`` — uint8
+crosses host->device at 1/4 the bytes of normalised f32, the dominant
+per-step transfer), boxes (B,G,4) xyxy px, labels (B,G) int32, mask (B,G).
 """
 from __future__ import annotations
 
@@ -280,7 +282,7 @@ def batch_iterator(
             mask[out_b, :k] = True
             sample_valid[out_b] = True
         yield {
-            "images": normalize_images(images),
+            "images": images,  # uint8; normalised on device (module doc)
             "boxes": boxes,
             "labels": labels,
             "mask": mask,

@@ -18,6 +18,7 @@ from .metrics.small_object import SmallObjectMetric
 from .models.config import ModelConfig
 from .ops.decode import decode_outputs
 from .ops.nms import nms
+from .ops.preprocess import ensure_normalized
 
 
 def predict_batches(
@@ -44,7 +45,7 @@ def predict_batches(
          if k in variables}
 
     def fwd(vv, images):
-        outputs = model.apply(vv, images, train=False)
+        outputs = model.apply(vv, ensure_normalized(images), train=False)
 
         def single(outs):
             dets = decode_outputs(outs, cfg.strides, conf_threshold,

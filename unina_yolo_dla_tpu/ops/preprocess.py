@@ -34,6 +34,22 @@ def normalize(rgb01: jnp.ndarray,
     return (rgb01.astype(jnp.float32) - mean) / std
 
 
+def ensure_normalized(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB frames -> ImageNet-normalised f32; float passes through.
+
+    Training/eval batches cross host->device as uint8 — 4x fewer bytes
+    than normalised float32, which is the dominant per-step transfer at
+    640x640 (78 MB -> 20 MB at batch 16) — and are normalised on device,
+    where the op fuses into the first conv. Float inputs are assumed
+    already normalised (backward-compatible with host-side
+    ``data.dataset.normalize_images``). The dtype test is static under
+    ``jit``.
+    """
+    if images.dtype == jnp.uint8:
+        return normalize(images.astype(jnp.float32) / 255.0)
+    return images
+
+
 def _bilinear_coords(dst: int, src: int):
     """Half-pixel source coordinates + weights for one axis."""
     scale = src / dst

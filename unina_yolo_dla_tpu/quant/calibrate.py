@@ -27,6 +27,7 @@ from typing import Any, Callable, Iterable
 import jax
 import numpy as np
 
+from ..ops.preprocess import ensure_normalized
 
 
 def _run_calib_pass(
@@ -176,8 +177,8 @@ def calibrate(
 
     def apply(m):
         def f(v, batch):
-            return m.apply(v, get_images(batch), train=False,
-                           mutable=["quant_calib"])
+            return m.apply(v, ensure_normalized(get_images(batch)),
+                           train=False, mutable=["quant_calib"])
         return jax.jit(f)
 
     base = {k: v for k, v in variables.items() if k != "quant_calib"}

@@ -26,6 +26,7 @@ import jax
 import numpy as np
 
 from ..ops.decode import decode_outputs
+from ..ops.preprocess import ensure_normalized
 from ..ops.nms import nms
 
 
@@ -79,7 +80,7 @@ def calibrate_conformal_prediction(
     cfg = model.config
 
     def fwd(v, images):
-        return model.apply(v, images, train=False)
+        return model.apply(v, ensure_normalized(images), train=False)
 
     fwd = jax.jit(fwd)
     v = {k: variables[k] for k in ("params", "batch_stats", "quant")

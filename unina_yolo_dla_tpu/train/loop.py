@@ -10,9 +10,11 @@ optional multi-device data parallelism.
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
 import time
 from pathlib import Path
-from typing import Any, Callable
+from typing import Any, Callable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +28,33 @@ from ..parallel.distributed import is_main_process, make_global_batch
 from ..utils.checkpoint import CheckpointManager
 from .losses import LossConfig
 from .trainer import TrainConfig, TrainState, create_train_state, make_optimizer, make_train_step
+
+
+def prefetch(batches: Iterator, depth: int = 2) -> Iterator:
+    """Run the (CPU-bound) batch pipeline in a background thread, ``depth``
+    batches ahead, so image loading/augmentation overlaps device compute —
+    the async-dataloader role of the reference's torch DataLoader workers
+    (data_loader.py:152-228), one thread being enough because the consumer
+    is an async XLA dispatch, not a training computation."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(sentinel)
+        except BaseException as e:  # propagate into the consumer thread
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def fitness(metrics: dict[str, float]) -> float:
@@ -142,12 +171,13 @@ def fit(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
-        for batch in batch_iterator(train_ds, tc.batch_size, rng,
-                                    steps=steps_per_epoch, weights=weights,
-                                    augment=augment, mosaic_p=mosaic_p,
-                                    mixup_p=mixup_p,
-                                    copy_paste=copy_paste,
-                                    process_slice=process_slice):
+        for batch in prefetch(batch_iterator(
+                train_ds, tc.batch_size, rng,
+                steps=steps_per_epoch, weights=weights,
+                augment=augment, mosaic_p=mosaic_p,
+                mixup_p=mixup_p,
+                copy_paste=copy_paste,
+                process_slice=process_slice)):
             batch.pop("sample_valid", None)
             if process_slice is not None:
                 # per-host rows -> global batch-sharded jax.Arrays
@@ -169,9 +199,10 @@ def fit(
         }
         if val_ds is not None and len(val_ds) > 0:
             def val_batches():
-                return batch_iterator(val_ds, min(tc.batch_size, len(val_ds)),
-                                      np.random.default_rng(0),
-                                      shuffle=False, augment=False)
+                return prefetch(batch_iterator(
+                    val_ds, min(tc.batch_size, len(val_ds)),
+                    np.random.default_rng(0),
+                    shuffle=False, augment=False))
 
             if pcount > 1:
                 # multi-host: every process validates the full val set

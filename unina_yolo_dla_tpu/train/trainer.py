@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.config import ModelConfig
+from ..ops.preprocess import ensure_normalized
 from .losses import LossConfig, detection_loss
 
 
@@ -93,8 +94,9 @@ def make_train_step(
               tuple[TrainState, dict[str, jnp.ndarray]]]:
     """Returns a pure (state, batch) -> (state, metrics) step.
 
-    ``batch``: images (B,H,W,3) float32 normalised; boxes (B,G,4) xyxy px;
-    labels (B,G) int32; mask (B,G) bool.
+    ``batch``: images (B,H,W,3) uint8 RGB (normalised on device; float32
+    accepted as already-normalised); boxes (B,G,4) xyxy px; labels (B,G)
+    int32; mask (B,G) bool.
 
     ``extra_variables``: frozen collections threaded into apply — e.g. the
     calibrated ``quant`` amax collection during QAT fine-tuning (amax stays
@@ -105,7 +107,8 @@ def make_train_step(
     def loss_fn(params, batch_stats, batch):
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats, **extra},
-            batch["images"], train=True, mutable=["batch_stats"])
+            ensure_normalized(batch["images"]), train=True,
+            mutable=["batch_stats"])
         loss, aux = detection_loss(
             outputs, batch["boxes"], batch["labels"], batch["mask"],
             cfg, loss_cfg, grid_sizes)
@@ -150,7 +153,7 @@ def make_eval_step(model, cfg: ModelConfig, loss_cfg: LossConfig = LossConfig(),
         params = state.ema_params if use_ema else state.params
         outputs = model.apply(
             {"params": params, "batch_stats": state.batch_stats, **extra},
-            batch["images"], train=False)
+            ensure_normalized(batch["images"]), train=False)
         _, aux = detection_loss(
             outputs, batch["boxes"], batch["labels"], batch["mask"],
             cfg, loss_cfg, grid_sizes)
