@@ -254,7 +254,11 @@ class ServingArtifact:
         exported = jax_export.deserialize(
             (self.dir / "serving.stablehlo").read_bytes())
         self._exported = exported
-        self.variables = load_msgpack_raw(self.dir / "variables.msgpack")
+        # weights go device-resident ONCE at load — as host numpy they
+        # would be re-uploaded on every __call__ (the C++ PJRT executor
+        # likewise keeps them in device buffers across frames)
+        self.variables = jax.device_put(
+            load_msgpack_raw(self.dir / "variables.msgpack"))
         self._call = jax.jit(exported.call)
 
     def __call__(self, frame: jnp.ndarray):
