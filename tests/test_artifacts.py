@@ -58,3 +58,18 @@ def test_cp_calibration_artifact():
     payload = json.loads((ARTIFACTS / "cp_calibration.json").read_text())
     assert 0.0 < payload["q_hat"] < 1.0
     assert payload["alpha"] == 0.1
+
+
+@pytest.mark.skipif(
+    not (ARTIFACTS / "serving_artifact" / "variables.msgpack").exists(),
+    reason="serving artifact not present")
+def test_serving_artifact_weights_are_device_resident():
+    """Weights must be committed to device at load, not re-uploaded per
+    call (the 10x relay-latency defect fixed in round 2)."""
+    from unina_yolo_dla_tpu.runtime.aot import ServingArtifact
+
+    art = ServingArtifact(ARTIFACTS / "serving_artifact")
+    leaves = jax.tree_util.tree_leaves(art.variables)
+    assert leaves, "artifact has no weight leaves"
+    for leaf in leaves:
+        assert isinstance(leaf, jax.Array), type(leaf)
