@@ -11,8 +11,8 @@ K=1024) — as ONE jitted XLA program on the TPU, for THREE engines:
   pallas    bf16 graph with the hand-written Pallas preprocess/decode/NMS
             kernels instead of the XLA-fused ops
 
-The headline value is the best engine's latency (that engine is what
-`export` ships by default); every engine's number is in extras, plus
+The headline value is the best engine's latency (the engine `export
+--int8` ships for deployment); every engine's number is in extras, plus
 analytic FLOPs/frame (XLA cost analysis), achieved TFLOP/s and MFU at
 batch 1 and 8, and a saved jax.profiler trace artifact.
 
