@@ -49,7 +49,12 @@ def main() -> None:
         "--process-id", str(pid),
     ])
 
+    from unina_yolo_dla_tpu.evaluate import evaluate_model
+
     payload = {
+        # sharded validation: images THIS process predicted in the last
+        # per-epoch eval (the global val set is 4 images over 2 hosts)
+        "val_local_images": evaluate_model.last_local_images,
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
         "global_devices": jax.device_count(),

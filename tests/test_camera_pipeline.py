@@ -154,6 +154,61 @@ def test_nv12_camera_path_matches_rgb(setup):
                                np.asarray(d_rgb.scores), atol=0.05)
 
 
+def test_camera_letterbox_matches_host_letterbox(setup):
+    """On-chip letterbox == host-side training letterbox (data pipeline
+    geometry) followed by the direct serving path: no train/serve skew."""
+    from unina_yolo_dla_tpu.ops.preprocess import letterbox
+
+    cfg, model, v = setup
+    rng = np.random.default_rng(5)
+    cam_h, cam_w = 24, 48  # wide camera aspect
+    frame = rng.integers(0, 256, (cam_h, cam_w, 3)).astype(np.uint8)
+
+    cam = jax.jit(build_camera_serving_fn(
+        model, cfg, cam_h, cam_w, camera_format="rgb", max_detections=64,
+        letterbox=True))
+    d_cam = cam(v, jnp.asarray(frame))
+
+    boxed, _scale, _pads = letterbox(jnp.asarray(frame), cfg.input_size)
+    direct = jax.jit(build_serving_fn(model, cfg, max_detections=64))
+    d_host = direct(v, jnp.asarray(np.round(np.asarray(boxed))
+                                   .astype(np.uint8)))
+    # u8 rounding of the host letterbox allows tiny score differences
+    np.testing.assert_allclose(np.asarray(d_cam.scores),
+                               np.asarray(d_host.scores), atol=0.05)
+
+
+def test_camera_box_space_mapping(setup):
+    """box_space='camera' must equal the model-space boxes with pad/scale
+    undone inside the program (letterbox) or per-axis stretch undone."""
+    cfg, model, v = setup
+    rng = np.random.default_rng(6)
+    cam_h, cam_w = 24, 48
+    frame = jnp.asarray(rng.integers(0, 256, (cam_h, cam_w, 3),
+                                     dtype=np.uint8))
+    for lb in (False, True):
+        kw = dict(camera_format="rgb", max_detections=64, letterbox=lb)
+        d_model = jax.jit(build_camera_serving_fn(
+            model, cfg, cam_h, cam_w, box_space="model", **kw))(v, frame)
+        d_cam = jax.jit(build_camera_serving_fn(
+            model, cfg, cam_h, cam_w, box_space="camera", **kw))(v, frame)
+        b = np.asarray(d_model.boxes)
+        if lb:
+            s = cfg.input_size
+            scale = min(s / cam_h, s / cam_w)
+            pad_y = (s - round(cam_h * scale)) // 2
+            pad_x = (s - round(cam_w * scale)) // 2
+            expect = (b - [pad_x, pad_y, pad_x, pad_y]) / scale
+        else:
+            expect = b * [cam_w / cfg.input_size, cam_h / cfg.input_size,
+                          cam_w / cfg.input_size, cam_h / cfg.input_size]
+        expect = np.clip(expect, 0, [cam_w, cam_h, cam_w, cam_h])
+        np.testing.assert_allclose(np.asarray(d_cam.boxes), expect,
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(d_cam.valid),
+                                      np.asarray(d_model.valid))
+
+
 def test_camera_artifact_export_and_load(setup, tmp_path):
     """export --camera HxW --format nv12 produces a loadable artifact
     whose program consumes the RAW planar frame."""
@@ -169,7 +224,8 @@ def test_camera_artifact_export_and_load(setup, tmp_path):
                             camera=(cam_h, cam_w, "nv12"))
     art = ServingArtifact(out)
     assert art.config["camera"] == {"height": cam_h, "width": cam_w,
-                                    "format": "nv12"}
+                                    "format": "nv12", "letterbox": False,
+                                    "box_space": "model"}
     planar = np.zeros((cam_h * 3 // 2, cam_w), np.uint8)
     boxes, scores, classes, valid = jax.device_get(art(planar))
     assert boxes.shape == (32, 4)

@@ -148,3 +148,44 @@ def test_batch_iterator_with_mosaic_and_copy_paste(synth_root, tmp_path):
     # boxes stay inside the canvas after mosaic + paste
     valid_boxes = b["boxes"][b["mask"]]
     assert (valid_boxes >= 0).all() and (valid_boxes <= 96).all()
+
+
+def test_xhard_regime_is_small_dominant():
+    """XHARD must put the dominant mass of boxes below 15 px (and a real
+    share below the P2-stride 8 px line) so small-object F1 can fail."""
+    from unina_yolo_dla_tpu.data.synthetic import XHARD
+    import dataclasses
+
+    cfg = dataclasses.replace(XHARD, image_size=640, seed=5)
+    heights = []
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        _, labels = generate_image(rng, cfg)
+        heights += [h * 640 for (_, _, _, _, h) in labels]
+    heights = np.asarray(heights)
+    assert len(heights) >= 60                  # dense scenes
+    assert (heights < 15).mean() > 0.6         # small-object dominant
+    assert (heights < 8).mean() > 0.2          # sub-stride band present
+
+
+def test_corruptions_contract():
+    """Every corruption: uint8->uint8, same shape, actually perturbs, and
+    corrupt_batches is deterministic for a fixed seed."""
+    from unina_yolo_dla_tpu.data.corruptions import CORRUPTIONS, corrupt_batches
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    for name, fn in CORRUPTIONS.items():
+        for sev in (1, 2, 3):
+            out = fn(img, sev, np.random.default_rng(1))
+            assert out.shape == img.shape and out.dtype == np.uint8, name
+            assert not np.array_equal(out, img), (name, sev)
+
+    def batches():
+        yield {"images": np.stack([img, img]),
+               "mask": np.zeros((2, 4), bool)}
+
+    a = next(corrupt_batches(batches, "gaussian_noise", 2, seed=9)())
+    b = next(corrupt_batches(batches, "gaussian_noise", 2, seed=9)())
+    np.testing.assert_array_equal(a["images"], b["images"])
+    assert not np.array_equal(a["images"], np.stack([img, img]))

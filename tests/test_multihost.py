@@ -76,6 +76,12 @@ def test_two_process_training(synth_yaml, tmp_path):
     assert a["fp32_fitness"] == pytest.approx(b["fp32_fitness"], abs=1e-6)
     assert a["qat_loss"] == pytest.approx(b["qat_loss"], abs=1e-6)
 
+    # sharded validation: each host predicted only its half of the 4-image
+    # val set (the allgather put the metrics back in lockstep, asserted
+    # above via identical fitness)
+    assert a["val_local_images"] == 2
+    assert b["val_local_images"] == 2
+
     # rank-0-only writes: process 0 produced every artifact, process 1 none
     assert (outs[0] / "fp32" / "best.msgpack").exists()
     assert (outs[0] / "qat" / "best.msgpack").exists()

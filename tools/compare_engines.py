@@ -57,6 +57,13 @@ def main() -> None:
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--max-boxes", type=int, default=60)
     p.add_argument("--json", default=None)
+    p.add_argument("--corruptions", default=None,
+                   help="robustness sweep: 'all' (every corruption at "
+                        "severity 2) or 'name:sev,name:sev,...' "
+                        "(data/corruptions.py). Evaluates fp32 and "
+                        "int8_fused under each condition and reports the "
+                        "int8-vs-fp32 delta there — the regime where "
+                        "quantisation typically breaks first")
     args = p.parse_args()
 
     spec = load_dataset_yaml(args.data)
@@ -104,6 +111,46 @@ def main() -> None:
         delta = (results[name]["map50_95"] - base) * 100
         results[name]["delta_map50_95_pts"] = round(delta, 2)
         print(f"{name}: mAP50-95 delta vs fp32 = {delta:+.2f} pts")
+
+    if args.corruptions:
+        from unina_yolo_dla_tpu.data.corruptions import (
+            CORRUPTIONS,
+            corrupt_batches,
+        )
+
+        if args.corruptions == "all":
+            conditions = [(n, 2) for n in CORRUPTIONS]
+        else:
+            conditions = []
+            for tok in args.corruptions.split(","):
+                name, _, sev = tok.partition(":")
+                conditions.append((name, int(sev or 2)))
+
+        results["corruptions"] = {}
+        for cname, sev in conditions:
+            row = {}
+            for ename in ("fp32", "int8_fused"):
+                model, variables = engines[ename]
+                m = evaluate_model(
+                    model, variables,
+                    corrupt_batches(batches, cname, sev),
+                    conf_threshold=args.conf)
+                row[ename] = {k: float(m.get(k, float("nan")))
+                              for k in COLS}
+            row["delta_map50_95_pts"] = round(
+                (row["int8_fused"]["map50_95"]
+                 - row["fp32"]["map50_95"]) * 100, 2)
+            row["delta_small_f1_pts"] = round(
+                (row["int8_fused"]["small_object_f1"]
+                 - row["fp32"]["small_object_f1"]) * 100, 2)
+            results["corruptions"][f"{cname}:{sev}"] = row
+            print(f"[{cname}:{sev}] fp32 mAP50-95="
+                  f"{row['fp32']['map50_95']:.4f} "
+                  f"small_f1={row['fp32']['small_object_f1']:.4f} | "
+                  f"int8 mAP50-95={row['int8_fused']['map50_95']:.4f} "
+                  f"small_f1={row['int8_fused']['small_object_f1']:.4f} | "
+                  f"int8-fp32 = {row['delta_map50_95_pts']:+.2f} / "
+                  f"{row['delta_small_f1_pts']:+.2f} pts", flush=True)
 
     if args.json:
         Path(args.json).write_text(json.dumps(results, indent=2))

@@ -254,10 +254,12 @@ def batch_iterator(
         labels = np.zeros((local_b, g), np.int32)
         mask = np.zeros((local_b, g), bool)
         sample_valid = np.zeros(local_b, bool)
+        indices = -np.ones(local_b, np.int64)
         for out_b, b in enumerate(rows):
             i = int(order[step * batch_size + b])
             if i < 0:
                 continue  # tail padding slot
+            indices[out_b] = i
             srng = (np.random.default_rng(row_seeds[step, b])
                     if row_seeds is not None else rng)
             img, bx, cl = dataset.load_letterboxed(i)
@@ -287,4 +289,5 @@ def batch_iterator(
             "labels": labels,
             "mask": mask,
             "sample_valid": sample_valid,
+            "indices": indices,  # dataset row per sample (-1 = padding)
         }

@@ -37,9 +37,12 @@ class SynthConfig:
     large_class_scale: float = 1.5
     seed: int = 42
     # --- hard-regime knobs (all off by default; see HARD preset) ---
-    # fraction of cones forced into the 8-15 px small-object band — the
-    # 20 m+ cone mission profile (reference README.md:19: 10-15 px)
+    # fraction of cones forced into the small-object band — the 20 m+
+    # cone mission profile (reference README.md:19: 10-15 px)
     small_fraction: float = 0.0
+    # the forced small-cone height band, px (xhard narrows it to 5-12 px
+    # so the small-object metric leaves its ceiling and can falsify)
+    small_band: tuple[float, float] = (8.0, 15.0)
     # unlabeled distractor shapes (false-positive bait): gray rocks,
     # white line fragments, grass patches
     clutter: int = 0
@@ -61,6 +64,21 @@ HARD = SynthConfig(
     clutter=12,
     occlusion_p=0.3,
     noise=26,
+)
+
+# The "xhard" regime (VERDICT r2 weak #6: on HARD, small-object F1 still
+# ceilings at 0.98 for every engine — a metric that cannot fail is not
+# measuring the mission). Dominant band pushed to 5-12 px (several cones
+# below one P2 stride cell), denser scenes, heavier clutter/occlusion/
+# noise — tuned until engines measurably separate on small-F1.
+XHARD = SynthConfig(
+    min_cones=10, max_cones=24,
+    min_height=5, max_height=48,
+    small_fraction=0.85,
+    small_band=(5.0, 12.0),
+    clutter=20,
+    occlusion_p=0.45,
+    noise=32,
 )
 
 
@@ -145,8 +163,8 @@ def generate_image(
     for _ in range(n):
         cls = int(rng.integers(0, 4))
         if cfg.small_fraction > 0 and rng.uniform() < cfg.small_fraction:
-            # the 20 m+ band: 8-15 px cones (mAP_small regime, <15 px)
-            h = float(rng.uniform(8, 15))
+            # the 20 m+ band (mAP_small regime, <15 px; xhard: 5-12 px)
+            h = float(rng.uniform(*cfg.small_band))
         else:
             h = float(rng.uniform(min_h, max_h))
         w = h * (0.85 if cls != 3 else cfg.large_class_scale * 0.6)
@@ -241,8 +259,12 @@ def main() -> None:
     p.add_argument("--hard", action="store_true",
                    help="hard regime: 70%% cones in the 8-15 px band, "
                         "clutter, occlusion (the mAP_small stress set)")
+    p.add_argument("--xhard", action="store_true",
+                   help="extreme regime: 85%% cones at 5-12 px, dense, "
+                        "heavy clutter/occlusion — calibrated so the "
+                        "small-object metric can actually fail")
     args = p.parse_args()
-    base = HARD if args.hard else SynthConfig()
+    base = XHARD if args.xhard else (HARD if args.hard else SynthConfig())
     cfg = dataclasses.replace(base, image_size=args.image_size,
                               seed=args.seed)
     path = generate_dataset(args.output, args.num_train, args.num_val, cfg)

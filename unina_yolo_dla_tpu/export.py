@@ -65,6 +65,16 @@ def main(argv=None) -> None:
     p.add_argument("--format", default="bgra",
                    choices=("bgra", "rgb", "nv12"),
                    help="camera pixel format (with --camera)")
+    p.add_argument("--letterbox", action="store_true",
+                   help="with --camera: bake aspect-preserving resize + "
+                        "gray pad on-chip (the TRAINING geometry) instead "
+                        "of the stretch resize — see the measured A/B in "
+                        "RESULTS.md")
+    p.add_argument("--box-space", default="model",
+                   choices=("model", "camera"),
+                   help="with --camera: coordinate space of returned "
+                        "boxes; 'camera' undoes resize/pad inside the "
+                        "program")
     p.add_argument("--batch", type=int, default=None,
                    help="export the multi-stream artifact taking "
                         "(N, S, S, 3) RGB frames")
@@ -127,7 +137,8 @@ def main(argv=None) -> None:
         model, variables, args.output,
         conf_threshold=args.conf, iou_threshold=args.iou, q_factor=q,
         max_detections=args.max_detections, strict=not args.no_strict,
-        platforms=platforms, camera=camera, batch=args.batch)
+        platforms=platforms, camera=camera, batch=args.batch,
+        camera_letterbox=args.letterbox, box_space=args.box_space)
     print(f">>> artifact written to {out} (q={q})")
 
 

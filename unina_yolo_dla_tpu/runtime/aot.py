@@ -115,6 +115,8 @@ def export_serving_artifact(
     platforms: tuple[str, ...] | None = None,
     camera: tuple[int, int, str] | None = None,
     batch: int | None = None,
+    camera_letterbox: bool = False,
+    box_space: str = "model",
 ) -> Path:
     """Serialize the fused frame->boxes program + weights + config.
 
@@ -143,7 +145,8 @@ def export_serving_artifact(
             raise ValueError("NV12 camera dims must be even")
         serve = build_camera_serving_fn(
             model, cfg, cam_h, cam_w, cam_fmt, conf_threshold,
-            iou_threshold, q_factor, max_detections)
+            iou_threshold, q_factor, max_detections,
+            letterbox=camera_letterbox, box_space=box_space)
         frame_shape = {
             "rgb": (cam_h, cam_w, 3),
             "bgra": (cam_h, cam_w, 4),
@@ -226,7 +229,8 @@ def export_serving_artifact(
         "output_bytes": report.output_bytes,
         "platforms": list(exported.platforms),
         "camera": ({"height": camera[0], "width": camera[1],
-                    "format": camera[2]} if camera else None),
+                    "format": camera[2], "letterbox": camera_letterbox,
+                    "box_space": box_space} if camera else None),
         "batch": batch,
     }, indent=2))
     (output_dir / "fallback_report.json").write_text(json.dumps(

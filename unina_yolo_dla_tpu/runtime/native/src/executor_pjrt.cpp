@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <map>
 #include <sstream>
@@ -122,7 +123,24 @@ struct PjrtExecutor::Impl {
   std::string input_format = "rgb";
   int exp_w = 0, exp_h = 0;   // expected ring-frame geometry
   bool camera = false;        // raw upload (no host conversion)
-  std::vector<uint8_t> rgb_staging;
+  // double-buffered host staging (one per pipeline slot): the frame is
+  // converted/copied here at submit so the bytes stay valid until the
+  // async h2d completes — the caller's buffer is reusable immediately
+  std::vector<uint8_t> staging[2];
+  int next_slot = 0;
+  // preallocated packed-output read buffer (K x 7 f32), reused per frame
+  // (the reference allocates its buffers once at configure,
+  // perception_node.cpp:471-484)
+  std::vector<float> packed;
+
+  // one in-flight pipeline stage: input buffer + its h2d-done event are
+  // released at collect (after d2h, when the transfer has long finished)
+  struct Inflight {
+    PJRT_Buffer* input = nullptr;
+    PJRT_Event* h2d_done = nullptr;
+    PJRT_Buffer* output = nullptr;
+  };
+  std::deque<Inflight> inflight;
 
   void check(PJRT_Error* e, const char* what) {
     if (!e) return;
@@ -273,8 +291,10 @@ PjrtExecutor::PjrtExecutor(const std::string& artifact_dir, int input_size,
   impl_->check(api->PJRT_Client_Compile(&comp), "compile");
   impl_->exe = comp.executable;
 
-  impl_->rgb_staging.resize(static_cast<size_t>(impl_->exp_w) *
-                            impl_->exp_h * 4);
+  for (auto& s : impl_->staging) {
+    s.resize(static_cast<size_t>(impl_->exp_w) * impl_->exp_h * 4);
+  }
+  impl_->packed.resize(static_cast<size_t>(impl_->max_detections) * 7);
 
   // warm execute so the first real frame is compile- and cache-warm
   // (embed.py's warm-compile parity; with remote-compile plugins the
@@ -306,6 +326,17 @@ PjrtExecutor::~PjrtExecutor() {
   if (!impl_) return;
   const PJRT_Api* api = impl_->api;
   if (api) {
+    // drain any in-flight pipeline stages before tearing the client down
+    for (auto& f : impl_->inflight) {
+      if (f.h2d_done) {
+        PJRT_Event_Destroy_Args d{PJRT_Event_Destroy_Args_STRUCT_SIZE,
+                                  nullptr, f.h2d_done};
+        api->PJRT_Event_Destroy(&d);
+      }
+      impl_->destroy_buffer(f.input);
+      impl_->destroy_buffer(f.output);
+    }
+    impl_->inflight.clear();
     if (impl_->exe) {
       PJRT_LoadedExecutable_Destroy_Args d{
           PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE, nullptr,
@@ -322,15 +353,19 @@ PjrtExecutor::~PjrtExecutor() {
   // re-initialisation after dlclose
 }
 
-InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
-                                int channels, std::vector<Detection>* out) {
-  out->clear();
+InferStatus PjrtExecutor::submit(const uint8_t* frame, int width, int height,
+                                 int channels) {
   if (width != impl_->exp_w || height != impl_->exp_h)
     return InferStatus::kGeometryError;
 
-  const uint8_t* data = frame;
+  // stage the frame into this pipeline slot's buffer (convert or copy):
+  // the caller's ring buffer is reusable the moment submit returns, and
+  // the staged bytes outlive the async h2d (released at collect)
+  uint8_t* dst = impl_->staging[impl_->next_slot].data();
+  impl_->next_slot ^= 1;
   int64_t dims[3] = {height, width, 3};
   size_t num_dims = 3;
+  size_t nbytes = static_cast<size_t>(height) * width * 3;
 
   if (impl_->camera) {
     // camera-path program: upload the RAW frame; colour conversion and
@@ -340,31 +375,33 @@ InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
     if (f == "bgra") {
       if (channels != 4) return InferStatus::kGeometryError;
       dims[2] = 4;
+      nbytes = static_cast<size_t>(height) * width * 4;
     } else if (f == "nv12") {
       if (channels != 0) return InferStatus::kGeometryError;
       dims[0] = static_cast<int64_t>(height) * 3 / 2;
       dims[1] = width;
       num_dims = 2;
+      nbytes = static_cast<size_t>(height) * width * 3 / 2;
     } else {
       if (channels != 3) return InferStatus::kGeometryError;
     }
+    std::memcpy(dst, frame, nbytes);
   } else {
     // square-RGB program: host-side format normalisation (embed.py
     // parity) for BGRA / NV12 ring frames
     const int s = impl_->input_size;
     if (channels == 4) {  // BGRA -> RGB
-      uint8_t* dst = impl_->rgb_staging.data();
       const size_t n = static_cast<size_t>(s) * s;
       for (size_t i = 0; i < n; ++i) {
         dst[i * 3 + 0] = frame[i * 4 + 2];
         dst[i * 3 + 1] = frame[i * 4 + 1];
         dst[i * 3 + 2] = frame[i * 4 + 0];
       }
-      data = dst;
     } else if (channels == 0) {  // NV12 planar
-      nv12_to_rgb(frame, s, s, impl_->rgb_staging.data());
-      data = impl_->rgb_staging.data();
-    } else if (channels != 3) {
+      nv12_to_rgb(frame, s, s, dst);
+    } else if (channels == 3) {
+      std::memcpy(dst, frame, nbytes);
+    } else {
       return InferStatus::kGeometryError;
     }
   }
@@ -373,7 +410,7 @@ InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
   PJRT_Client_BufferFromHostBuffer_Args bh{
       PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE, nullptr};
   bh.client = impl_->client;
-  bh.data = data;
+  bh.data = dst;
   bh.type = PJRT_Buffer_Type_U8;
   bh.dims = dims;
   bh.num_dims = num_dims;
@@ -394,10 +431,11 @@ InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
   PJRT_Buffer* outbuf[1] = {nullptr};
   PJRT_Buffer** outlist[1] = {outbuf};
 
-  // minimal sync discipline (the reference keeps exactly one stream sync
-  // per frame, gpu_postprocess.cu:421-424): enqueue execute right behind
-  // the h2d, skip the device-complete event, and let the single packed
-  // d2h below be the only blocking point.
+  // async-enqueue discipline (the reference keeps exactly one stream
+  // sync per frame, gpu_postprocess.cu:421-424): execute is enqueued
+  // right behind the h2d and NOTHING here blocks — the single packed d2h
+  // in collect() is the only wait, so frame N+1's upload and frame N's
+  // execute ride the wire together.
   PJRT_LoadedExecutable_Execute_Args ex{
       PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE, nullptr};
   ex.executable = impl_->exe;
@@ -409,26 +447,48 @@ InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
   ex.device_complete_events = nullptr;
   ex.execute_device = nullptr;
   PJRT_Error* err = api->PJRT_LoadedExecutable_Execute(&ex);
-  // the staging buffer is safe to reuse once the h2d transfer completed;
-  // await AFTER execute is enqueued so the two round-trips overlap
-  impl_->await(bh.done_with_host_buffer, "h2d event");
-  impl_->destroy_buffer(bh.buffer);
-  impl_->check(err, "execute");
+  if (err) {
+    // failed enqueue: release the input buffer + event before raising
+    if (bh.done_with_host_buffer) {
+      PJRT_Event_Destroy_Args d{PJRT_Event_Destroy_Args_STRUCT_SIZE,
+                                nullptr, bh.done_with_host_buffer};
+      api->PJRT_Event_Destroy(&d);
+    }
+    impl_->destroy_buffer(bh.buffer);
+    impl_->check(err, "execute");
+  }
+
+  impl_->inflight.push_back(
+      Impl::Inflight{bh.buffer, bh.done_with_host_buffer, outbuf[0]});
+  return InferStatus::kOk;
+}
+
+InferStatus PjrtExecutor::collect(std::vector<Detection>* out) {
+  out->clear();
+  if (impl_->inflight.empty()) return InferStatus::kGeometryError;
+  Impl::Inflight f = impl_->inflight.front();
+  impl_->inflight.pop_front();
 
   // one packed output: (K, 7) f32 rows [x1,y1,x2,y2,score,cls,valid]
+  // read into the buffer preallocated at configure
   const size_t K = static_cast<size_t>(impl_->max_detections);
-  std::vector<float> packed(K * 7);
   try {
-    impl_->to_host(outbuf[0], packed.data(), packed.size() * 4,
-                   "d2h packed");
+    impl_->to_host(f.output, impl_->packed.data(),
+                   impl_->packed.size() * 4, "d2h packed");
   } catch (...) {
-    impl_->destroy_buffer(outbuf[0]);
+    impl_->destroy_buffer(f.output);
+    if (f.h2d_done) impl_->await(f.h2d_done, "h2d event");
+    impl_->destroy_buffer(f.input);
     throw;
   }
-  impl_->destroy_buffer(outbuf[0]);
+  impl_->destroy_buffer(f.output);
+  // d2h completing implies the h2d long finished; this await is a
+  // bookkeeping release of the event + input buffer, not a stall
+  if (f.h2d_done) impl_->await(f.h2d_done, "h2d event");
+  impl_->destroy_buffer(f.input);
 
   for (size_t i = 0; i < K; ++i) {
-    const float* row = &packed[i * 7];
+    const float* row = &impl_->packed[i * 7];
     if (row[6] < 0.5f) continue;  // valid flag
     Detection d;
     d.x1 = row[0];
@@ -440,6 +500,19 @@ InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
     out->push_back(d);
   }
   return InferStatus::kOk;
+}
+
+InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
+                                int channels, std::vector<Detection>* out) {
+  // unpipelined convenience path: submit + immediate collect (drains any
+  // stale in-flight work first so interleaved misuse cannot mismatch
+  // frames and results)
+  out->clear();
+  std::vector<Detection> sink;
+  while (!impl_->inflight.empty()) collect(&sink);
+  InferStatus st = submit(frame, width, height, channels);
+  if (st != InferStatus::kOk) return st;
+  return collect(out);
 }
 
 }  // namespace unina

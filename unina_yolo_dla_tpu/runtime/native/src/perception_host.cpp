@@ -13,10 +13,17 @@
 //   perception_host --artifact DIR --ring /dev/shm/unina_frames
 //                   --out /dev/shm/unina_dets [--input 640] [--classes 4]
 //                   [--max-frames N] [--executor python|pjrt]
+//                   [--pipeline N]
 //
 // --executor pjrt drives the chip through the PJRT C API with no Python
 // in the per-frame loop (executor_pjrt.cpp); python (default) embeds
 // CPython over the jax.export artifact — the portable fallback.
+//
+// --pipeline N: frames kept in flight (default: the executor's
+// pipeline_depth(), 2 for pjrt — frame N+1 uploads while frame N
+// executes, the reference's async-enqueue overlap,
+// perception_node.cpp:598-645; 1 forces the serial r2 behaviour for
+// A/B measurement).
 #include <fcntl.h>
 #include <signal.h>
 #include <sys/mman.h>
@@ -26,7 +33,9 @@
 #include <chrono>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <string>
+#include <vector>
 
 #include "executor_pjrt.h"
 #include "executor_py.h"
@@ -64,6 +73,7 @@ void* map_file(const char* path, size_t* out_len, bool create, size_t len) {
 int main(int argc, char** argv) {
   std::string artifact, ring_path, out_path, executor_kind = "python";
   int input_size = 640, num_classes = 4, frame_w = 0, frame_h = 0;
+  int pipeline = 0;  // 0 = executor default
   long max_frames = -1;
 
   for (int i = 1; i < argc - 1; ++i) {
@@ -77,6 +87,7 @@ int main(int argc, char** argv) {
     else if (a == "--executor") executor_kind = argv[++i];
     else if (a == "--frame-width") frame_w = std::atoi(argv[++i]);
     else if (a == "--frame-height") frame_h = std::atoi(argv[++i]);
+    else if (a == "--pipeline") pipeline = std::atoi(argv[++i]);
   }
   // camera-path artifacts accept raw camera-resolution frames; the
   // pre-guard geometry defaults to the model input for square artifacts
@@ -163,17 +174,65 @@ int main(int argc, char** argv) {
   uint64_t torn_drops = 0, geom_drops = 0;
   const uint32_t w = ring->width, h = ring->height, ch = ring->channels;
 
+  const int depth = pipeline > 0 ? pipeline : exec->pipeline_depth();
+  std::fprintf(stderr, "[perception_host] pipeline depth=%d\n", depth);
+
   // Copy-then-validate staging buffer: a fast producer lapping the small
-  // ring mid-read would otherwise hand us a silently torn frame.
+  // ring mid-read would otherwise hand us a silently torn frame. (The
+  // executor copies/converts out of it at submit, so one buffer serves
+  // any pipeline depth.)
   std::vector<uint8_t> staging(ring->frame_bytes);
   std::vector<unina::Detection> dets;
+
+  // in-flight bookkeeping for the pipelined loop: sequence + submit time
+  // of every frame the executor holds, oldest first
+  struct Pending {
+    uint64_t seq;
+    std::chrono::steady_clock::time_point t0;
+  };
+  std::deque<Pending> pending;
+  auto t_first = std::chrono::steady_clock::time_point{};
+  auto t_last = t_first;
+
+  // collect the oldest in-flight frame, publish its detections
+  auto collect_one = [&]() -> bool {
+    Pending p = pending.front();
+    try {
+      exec->collect(&dets);
+    } catch (const std::exception& e) {
+      pending.pop_front();
+      std::fprintf(stderr, "WARNING: inference failed: %s\n", e.what());
+      return false;
+    }
+    pending.pop_front();
+    auto now = std::chrono::steady_clock::now();
+    double ms =
+        std::chrono::duration<double, std::milli>(now - p.t0).count();
+    hist.record(ms);
+    ++processed;
+    t_last = now;
+
+    uint32_t n = dets.size() > unina::kMaxDetections
+                     ? unina::kMaxDetections
+                     : static_cast<uint32_t>(dets.size());
+    std::memcpy(out_dets, dets.data(), n * sizeof(unina::Detection));
+    out->count = n;
+    out->latency_ms = ms;
+    out->result_seq.store(p.seq, std::memory_order_release);
+    return true;
+  };
 
   while (!g_stop) {
     uint64_t seq = 0, ts = 0, dropped = 0;
     int got = unina::ring_read_latest(ring, last_seq, staging.data(), &seq,
                                       &ts, &dropped);
     if (got == 0) {
-      // drain-then-exit: only stop once no unseen frame remains
+      // no new frame: finish in-flight work instead of idling, then
+      // drain-then-exit once the producer marked end-of-stream
+      if (!pending.empty()) {
+        collect_one();
+        continue;
+      }
       if (ring->shutdown.load(std::memory_order_acquire)) break;
       ::usleep(200);
       continue;
@@ -201,9 +260,10 @@ int main(int argc, char** argv) {
     }
 
     auto t0 = std::chrono::steady_clock::now();
+    if (t_first == std::chrono::steady_clock::time_point{}) t_first = t0;
     unina::InferStatus st;
     try {
-      st = exec->infer(staging.data(), w, h, ch, &dets);
+      st = exec->submit(staging.data(), w, h, ch);
     } catch (const std::exception& e) {
       std::fprintf(stderr, "WARNING: inference failed: %s\n", e.what());
       continue;
@@ -216,34 +276,36 @@ int main(int argc, char** argv) {
                    (unsigned long long)seq);
       continue;
     }
-    double ms = std::chrono::duration<double, std::milli>(
-                    std::chrono::steady_clock::now() - t0)
-                    .count();
-    hist.record(ms);
-    ++processed;
+    pending.push_back({seq, t0});
+    // keep at most `depth` frames in flight: collect the oldest once the
+    // window is full (depth 1 == the serial r2 loop)
+    if (static_cast<int>(pending.size()) >= depth) collect_one();
 
-    uint32_t n = dets.size() > unina::kMaxDetections
-                     ? unina::kMaxDetections
-                     : static_cast<uint32_t>(dets.size());
-    std::memcpy(out_dets, dets.data(), n * sizeof(unina::Detection));
-    out->count = n;
-    out->latency_ms = ms;
-    out->result_seq.store(seq, std::memory_order_release);
-
-    if (max_frames > 0 && processed >= static_cast<uint64_t>(max_frames))
+    if (max_frames > 0 &&
+        processed + pending.size() >= static_cast<uint64_t>(max_frames)) {
+      while (!pending.empty()) collect_one();
       break;
+    }
   }
+  while (!pending.empty()) collect_one();  // drain in-flight on stop
 
   lc.deactivate();
   lc.cleanup();
+  double fps = 0.0;
+  if (processed > 0 && t_last > t_first) {
+    fps = 1e3 * static_cast<double>(processed) /
+          std::chrono::duration<double, std::milli>(t_last - t_first)
+              .count();
+  }
   std::fprintf(stderr,
                "[perception_host] shutdown: frames=%llu dropped=%llu "
-               "(torn=%llu geom=%llu) p50=%.3fms p90=%.3fms p99=%.3fms\n",
+               "(torn=%llu geom=%llu) p50=%.3fms p90=%.3fms p99=%.3fms "
+               "fps=%.1f pipeline=%d\n",
                (unsigned long long)processed,
                (unsigned long long)total_dropped,
                (unsigned long long)torn_drops,
                (unsigned long long)geom_drops, hist.p50(), hist.p90(),
-               hist.p99());
+               hist.p99(), fps, depth);
   ::munmap(ring, ring_len);
   ::munmap(out, out_len);
   return 0;

@@ -124,6 +124,8 @@ def build_camera_serving_fn(
     iou_threshold: float = DEFAULT_IOU_THRESHOLD,
     q_factor: float = DEFAULT_CP_Q,
     max_detections: int = MAX_DETECTIONS,
+    letterbox: bool = False,
+    box_space: str = "model",      # "model" | "camera"
 ) -> Callable[[Any, jnp.ndarray], Detections]:
     """Full camera-path pipeline: raw camera-resolution frame on-chip.
 
@@ -134,12 +136,28 @@ def build_camera_serving_fn(
     MATMULS on the MXU — the TPU-native gather replacement) -> ImageNet
     normalise -> forward -> decode -> NMS, all one XLA program. Frame
     input shapes: rgb (H,W,3) u8, bgra (H,W,4) u8, nv12 (H*3/2, W) u8
-    planar (Y then interleaved UV — the shm-ring layout). Detected boxes
-    are returned in MODEL pixel space; multiply by
-    ``camera_{width,height} / cfg.input_size`` to map back.
+    planar (Y then interleaved UV — the shm-ring layout).
+
+    ``letterbox=False`` stretches the frame square — the literal
+    cuda_preprocess.cu:144-204 behaviour. ``letterbox=True`` bakes the
+    TRAINING geometry on-chip instead: aspect-preserving resize + gray
+    (114) center pad, exactly what ``data.dataset.load_letterboxed``
+    applies at train time — a squashed-aspect serve geometry is a silent
+    train/serve skew (the same argument that fixed serve_cli in r2; see
+    the measured A/B in RESULTS.md "Camera-path letterbox A/B").
+    Everything is static at trace time, so the pad is two constants.
+
+    ``box_space="camera"`` maps detected boxes back to camera pixel space
+    INSIDE the program (undo pad+scale, clamp to frame bounds) — the
+    consumer never needs to know which geometry the artifact bakes.
+    ``box_space="model"`` returns raw model-space boxes (r2-compatible).
     """
     s = cfg.input_size
     ch, cw = camera_height, camera_width
+    if letterbox:
+        scale = min(s / ch, s / cw)
+        new_h, new_w = round(ch * scale), round(cw * scale)
+        pad_y, pad_x = (s - new_h) // 2, (s - new_w) // 2
 
     def serve(variables, frame: jnp.ndarray) -> Detections:
         if camera_format == "bgra":
@@ -150,11 +168,28 @@ def build_camera_serving_fn(
             rgb = nv12_to_rgb(y, uv)
         else:
             rgb = frame.astype(jnp.float32)
-        resized = resize_bilinear_mxu(rgb, s, s)
+        if letterbox:
+            resized = resize_bilinear_mxu(rgb, new_h, new_w)
+            canvas = jnp.full((s, s, 3), 114.0, jnp.float32)
+            resized = jax.lax.dynamic_update_slice(
+                canvas, resized, (pad_y, pad_x, 0))
+        else:
+            resized = resize_bilinear_mxu(rgb, s, s)
         x = normalize(resized / 255.0)[None]
         outputs = model.apply(variables, x, train=False)
         dets = decode_outputs(
             outputs, cfg.strides, conf_threshold, q_factor, max_detections)
-        return nms(dets, iou_threshold)
+        dets = nms(dets, iou_threshold)
+        if box_space == "camera":
+            b = dets.boxes
+            if letterbox:
+                pads = jnp.asarray([pad_x, pad_y, pad_x, pad_y], jnp.float32)
+                b = (b - pads) / scale
+            else:
+                sx, sy = cw / s, ch / s
+                b = b * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+            lim = jnp.asarray([cw, ch, cw, ch], jnp.float32)
+            dets = dets._replace(boxes=jnp.clip(b, 0.0, lim))
+        return dets
 
     return serve

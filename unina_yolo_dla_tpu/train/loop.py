@@ -179,6 +179,7 @@ def fit(
                 copy_paste=copy_paste,
                 process_slice=process_slice)):
             batch.pop("sample_valid", None)
+            batch.pop("indices", None)
             if process_slice is not None:
                 # per-host rows -> global batch-sharded jax.Arrays
                 batch = make_global_batch(batch, mesh, tc.batch_size)
@@ -198,23 +199,35 @@ def fit(
             **(extra_variables or {}),
         }
         if val_ds is not None and len(val_ds) > 0:
-            def val_batches():
-                return prefetch(batch_iterator(
-                    val_ds, min(tc.batch_size, len(val_ds)),
-                    np.random.default_rng(0),
-                    shuffle=False, augment=False))
-
             if pcount > 1:
-                # multi-host: every process validates the full val set
-                # locally and identically (deterministic batches), so the
-                # fitness/best decision stays in lockstep with no
-                # cross-host collective; process 0 alone writes artifacts
-                # (reference rank-0 validation semantics, trainer.py:197)
+                # multi-host: SHARD validation — each process predicts only
+                # its process_slice rows of every (deterministic) val batch,
+                # then the padded per-image records are allgathered so every
+                # host computes identical metrics from the global set. The
+                # fitness/best decision stays in lockstep at ~1/P the val
+                # cost (the reference validates rank-0 only, trainer.py:197;
+                # we shard instead of duplicating).
+                val_bs = max(pcount,
+                             min(tc.batch_size, len(val_ds))
+                             // pcount * pcount)
+
+                def val_batches():
+                    return prefetch(batch_iterator(
+                        val_ds, val_bs, np.random.default_rng(0),
+                        shuffle=False, augment=False,
+                        process_slice=process_slice))
+
                 eval_vars = {k: jax.device_get(v)
                              for k, v in eval_vars.items()}
                 val_metrics = evaluate_model(model, eval_vars, val_batches,
-                                             mesh=None)
+                                             mesh=None, process_gather=True)
             else:
+                def val_batches():
+                    return prefetch(batch_iterator(
+                        val_ds, min(tc.batch_size, len(val_ds)),
+                        np.random.default_rng(0),
+                        shuffle=False, augment=False))
+
                 val_metrics = evaluate_model(model, eval_vars, val_batches,
                                              mesh=mesh)
             epoch_metrics.update(val_metrics)
