@@ -21,6 +21,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os  # noqa: E402
+
+import jax  # noqa: E402
+
+if os.environ.get("UNINA_FORCE_CPU"):  # sitecustomize pins axon otherwise
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from unina_yolo_dla_tpu.data.dataset import (  # noqa: E402

@@ -30,6 +30,11 @@ CLASS_NAMES = ("yellow_cone", "blue_cone", "orange_cone", "large_orange_cone")
 @dataclasses.dataclass
 class SynthConfig:
     image_size: int = 640
+    # rectangular (camera-aspect) rendering: width defaults to image_size
+    # (square). Set e.g. image_size=540, image_width=960 for a 16:9
+    # camera-geometry set (the letterbox-vs-stretch A/B needs GT in real
+    # camera aspect; labels normalise per-axis)
+    image_width: int | None = None
     min_cones: int = 3
     max_cones: int = 12
     min_height: int = 8       # small-object regime included
@@ -123,12 +128,13 @@ def generate_image(
 ) -> tuple[np.ndarray, list[tuple[int, float, float, float, float]]]:
     """One image + YOLO labels [(cls, cx, cy, w, h) normalised]."""
     s = cfg.image_size
+    sw = cfg.image_width or s
     # textured background: low-frequency gradient + noise
     base = rng.integers(60, 140)
-    img = np.full((s, s, 3), base, np.uint8)
+    img = np.full((s, sw, 3), base, np.uint8)
     grad = np.linspace(0, rng.integers(10, 50), s, dtype=np.int16)
     img = np.clip(img.astype(np.int16) + grad[:, None, None]
-                  + rng.integers(-cfg.noise, cfg.noise, (s, s, 3),
+                  + rng.integers(-cfg.noise, cfg.noise, (s, sw, 3),
                                  dtype=np.int16),
                   0, 255).astype(np.uint8)
 
@@ -145,7 +151,7 @@ def generate_image(
     for _ in range(cfg.clutter):
         kind = int(rng.integers(0, 3))
         ch = float(rng.uniform(4, 26))
-        cx = float(rng.uniform(ch, s - ch))
+        cx = float(rng.uniform(ch, sw - ch))
         cy = float(rng.uniform(ch, s - ch))
         if kind == 0:    # gray rock (rectangle)
             color = tuple(int(v) for v in rng.integers(70, 130, 3))
@@ -155,7 +161,7 @@ def generate_image(
         elif kind == 1:  # white line fragment
             y0 = int(cy)
             img[max(y0, 0):min(y0 + 3, s),
-                max(int(cx - ch), 0):min(int(cx + ch), s)] = (235, 235, 235)
+                max(int(cx - ch), 0):min(int(cx + ch), sw)] = (235, 235, 235)
         else:            # grass/vegetation patch (greenish triangle)
             _draw_triangle(img, cx, cy, ch * 1.4, ch * 0.8,
                            (40, int(rng.integers(120, 180)), 50))
@@ -169,7 +175,7 @@ def generate_image(
             h = float(rng.uniform(min_h, max_h))
         w = h * (0.85 if cls != 3 else cfg.large_class_scale * 0.6)
         for _attempt in range(20):
-            cx = float(rng.uniform(w / 2 + 2, s - w / 2 - 2))
+            cx = float(rng.uniform(w / 2 + 2, sw - w / 2 - 2))
             by = float(rng.uniform(h + 2, s - 2))
             x1b, y1b = cx - w / 2, by - h
             x2b, y2b = cx + w / 2, by
@@ -189,9 +195,9 @@ def generate_image(
             occ_h = h * float(rng.uniform(0.15, 0.4))
             color = tuple(int(v) for v in rng.integers(60, 140, 3))
             img[max(int(by - occ_h), 0):min(int(by) + 1, s),
-                max(int(cx - w / 2) - 1, 0):min(int(cx + w / 2) + 1, s)] = \
+                max(int(cx - w / 2) - 1, 0):min(int(cx + w / 2) + 1, sw)] = \
                 color
-        labels.append((cls, cx / s, (y1b + y2b) / 2 / s, w / s, h / s))
+        labels.append((cls, cx / sw, (y1b + y2b) / 2 / s, w / sw, h / s))
 
     return img, labels
 
@@ -254,7 +260,11 @@ def main() -> None:
     p.add_argument("--output", default="synth_data")
     p.add_argument("--num-train", type=int, default=50)
     p.add_argument("--num-val", type=int, default=10)
-    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--image-size", type=int, default=640,
+                   help="image height (and width unless --image-width)")
+    p.add_argument("--image-width", type=int, default=None,
+                   help="rectangular camera-aspect rendering, e.g. "
+                        "--image-size 540 --image-width 960")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--hard", action="store_true",
                    help="hard regime: 70%% cones in the 8-15 px band, "
@@ -266,6 +276,7 @@ def main() -> None:
     args = p.parse_args()
     base = XHARD if args.xhard else (HARD if args.hard else SynthConfig())
     cfg = dataclasses.replace(base, image_size=args.image_size,
+                              image_width=args.image_width,
                               seed=args.seed)
     path = generate_dataset(args.output, args.num_train, args.num_val, cfg)
     print(f"dataset yaml: {path}")
