@@ -380,6 +380,20 @@ def main() -> None:
         loop_i = make_loop(serve_i, 50)
         with trace("runs/bench_trace_int8") as _:
             float(loop_i(v_i, frame))
+        # batch-8 forward trace: the per-op bytes/flops behind the
+        # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
+        xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
+
+        @jax.jit
+        def loop8(v, xx):
+            def it(i, acc):
+                outs = bf16_model.apply(v, xx + i * 1e-6, train=False)
+                return acc + sum(o.sum() for pr in outs for o in pr)
+            return lax.fori_loop(0, 10, it, jnp.float32(0.0))
+
+        float(loop8(bf16_vars, xb))
+        with trace("runs/bench_trace_b8") as _:
+            float(loop8(bf16_vars, xb))
         trace_dir = d
     except Exception as e:
         print(f"WARNING: profiler trace failed: {e}", flush=True)

@@ -57,6 +57,43 @@ def tpu_artifact(tmp_path_factory):
     return out
 
 
+def test_pjrt_host_serves_committed_artifact(native_build):
+    """The COMMITTED deployable artifact (artifacts/serving_artifact) must
+    configure and serve through the native PJRT host as-is — the shipped
+    .engine IS the product (reference export_trt.py:497-566). Round-2's
+    committed artifact predated serving_baked.stablehlo; this pins the
+    round-3 format."""
+    art = REPO / "artifacts" / "serving_artifact"
+    if not (art / "serving_baked.stablehlo").exists():
+        pytest.skip("committed artifact predates the baked-program format")
+
+    ring = "/dev/shm/unina_pjrt_commit_frames"
+    dets = "/dev/shm/unina_pjrt_commit_dets"
+    for p in (ring, dets):
+        if os.path.exists(p):
+            os.unlink(p)
+
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce", "--ring", ring,
+         "--width", "640", "--height", "640", "--frames", "30000",
+         "--fps", "30"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        host = subprocess.run(
+            [str(native_build / "perception_host"),
+             "--artifact", str(art), "--ring", ring,
+             "--out", dets, "--input", "640", "--classes", "4",
+             "--executor", "pjrt", "--max-frames", "10"],
+            capture_output=True, text=True, timeout=540)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=30)
+
+    assert host.returncode == 0, host.stderr[-4000:]
+    assert "[executor_pjrt] configured" in host.stderr
+    assert "frames=10" in host.stderr, host.stderr[-1000:]
+
+
 def test_pjrt_host_end_to_end(native_build, tpu_artifact, tmp_path):
     ring = "/dev/shm/unina_pjrt_test_frames"
     dets = "/dev/shm/unina_pjrt_test_dets"

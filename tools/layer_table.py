@@ -335,6 +335,22 @@ def main() -> None:
     rows, total_ms = build_table(ops, args.top, args.iters)
     print(f"trace: {xp}")
     print_table(rows, total_ms, args.iters)
+    # whole-graph achieved bandwidth/compute: the roofline coordinates of
+    # the entire program (v5e peaks: ~197 bf16 TFLOP/s, ~819 GB/s HBM) —
+    # this is the number that decides "HBM-saturated or not"
+    tot_f = sum(o["flops"] for o in ops)
+    tot_b = sum(o["bytes"] for o in ops)
+    agg = {
+        "aggregate_tflops_per_s": (round(tot_f / (total_ms * 1e-3) / 1e12, 2)
+                                   if total_ms else None),
+        "aggregate_gbytes_per_s": (round(tot_b / (total_ms * 1e-3) / 1e9, 1)
+                                   if total_ms else None),
+        "aggregate_arith_intensity": (round(tot_f / tot_b, 1)
+                                      if tot_b else None),
+    }
+    print(f"aggregate: {agg['aggregate_tflops_per_s']} TFLOP/s, "
+          f"{agg['aggregate_gbytes_per_s']} GB/s, "
+          f"AI={agg['aggregate_arith_intensity']}")
     groups = rollup_by_group(ops, args.group_depth)
     print("\nper-stage rollup (share of device time):")
     for g in groups[:12]:
@@ -343,6 +359,7 @@ def main() -> None:
 
     payload = {"trace": str(xp), "iters": args.iters,
                "device_total_ms": round(total_ms, 3),
+               **agg,
                "top_ops": rows, "groups": groups}
     if args.check_int8:
         bad = check_int8_fusion(ops)

@@ -91,8 +91,14 @@ def calibrate_conformal_prediction(
     for batch in batches:
         outputs = fwd(v, jnp.asarray(batch["images"]))
         B = batch["images"].shape[0]
-        n_images += B
+        # epoch-mode batches pad the tail with empty slots; counting them
+        # as calibration images overstated num_images (208 vs the real
+        # 200 on the r2 hard run — advisor finding)
+        sample_valid = batch.get("sample_valid", np.ones(B, bool))
+        n_images += int(np.sum(sample_valid))
         for b in range(B):
+            if not sample_valid[b]:
+                continue
             per_img = [(c[b:b + 1], r[b:b + 1]) for c, r in outputs]
             dets = decode_outputs(per_img, cfg.strides,
                                   conf_threshold=conf_threshold,
