@@ -74,3 +74,53 @@ def test_fold_preserves_param_shapes_for_head_preds(trained_like_setup):
     b = np.asarray(
         deploy_vars["params"]["head_p3"]["cls_pred"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_stem_space_to_depth_exact_equivalence():
+    """The s2d stem must be numerically IDENTICAL to the standard stem
+    (same multiplies/adds, different layout): full-model outputs match on
+    random input at f32 precision."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.ops.preprocess import space_to_depth
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_stem_space_to_depth,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+
+    dep = dataclasses.replace(cfg, deploy=True)
+    s2d = dataclasses.replace(cfg, deploy=True, stem_s2d=True)
+    s2d_vars = fold_stem_space_to_depth(folded)
+    assert s2d_vars["params"]["backbone"]["stem"]["conv"]["kernel"].shape \
+        == (2, 2, 12, 16)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out_std = UninaYoloDla(dep).apply(folded, x, train=False)
+    out_s2d = UninaYoloDla(s2d).apply(s2d_vars, x, train=False)
+    for (a1, a2), (b1, b2) in zip(out_std, out_s2d):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-4)
+
+    # the jnp op matches the layout contract the kernel transform assumes
+    t = jnp.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3)
+    b = space_to_depth(t, 2)
+    assert b.shape == (2, 2, 2, 12)
+    # block (0,0): offsets (di,dj) row-major, channels fastest
+    np.testing.assert_array_equal(
+        np.asarray(b[0, 0, 0]),
+        np.concatenate([np.asarray(t[0, 0, 0]), np.asarray(t[0, 0, 1]),
+                        np.asarray(t[0, 1, 0]), np.asarray(t[0, 1, 1])]))

@@ -45,6 +45,11 @@ def main(argv=None) -> None:
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets (e.g. cpu,tpu) "
                         "for a portable artifact; default: current backend")
+    p.add_argument("--stem-s2d", action="store_true",
+                   help="space-to-depth stem (deploy graphs only): "
+                        "numerically identical conv, eliminates the C=3 "
+                        "layout copies (~30%% of frame time on v5e — "
+                        "RESULTS.md round 3); implies --fold-bn")
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
@@ -89,10 +94,16 @@ def main(argv=None) -> None:
         raise SystemExit("--int8 requires a calibrated checkpoint "
                          "(quant collection with activation amax; run "
                          "phase-2 QAT or prepare_qat_variables first)")
-    if args.fold_bn or args.int8:
+    if args.fold_bn or args.int8 or args.stem_s2d:
         variables = fold_batchnorm(variables)
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
+    if args.stem_s2d:
+        from .quant.deploy import fold_stem_space_to_depth
+
+        variables = fold_stem_space_to_depth(variables)
+        cfg = dataclasses.replace(cfg, stem_s2d=True)
+        print(">>> stem space-to-depth folded (2x2 s1 over 12ch)")
     if args.int8:
         if not args.int8_unfused:
             flat = jax.tree_util.tree_flatten_with_path(

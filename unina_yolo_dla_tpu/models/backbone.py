@@ -29,7 +29,17 @@ class Backbone(nn.Module):
                                   deploy=cfg.deploy)
 
         # Stem: (B,640,640,3) -> (B,320,320,c1)
-        x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)
+        if cfg.stem_s2d:
+            # deploy-graph space-to-depth stem: same math, zero C=3 layout
+            # copies (weights from quant.deploy.fold_stem_space_to_depth;
+            # derivation + measurement in that docstring / RESULTS.md)
+            from ..ops.preprocess import space_to_depth
+
+            x = space_to_depth(x, 2)
+            x = ConvBlock(c1, 2, strides=1, padding=((1, 0), (1, 0)),
+                          name="stem", **kw)(x, train)
+        else:
+            x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)
 
         # Stage 1 -> P2 (stride 4, 160x160)
         x = ConvBlock(c2, 3, strides=2, name="stage1_conv", **kw)(x, train)

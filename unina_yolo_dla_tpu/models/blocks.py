@@ -58,6 +58,9 @@ class ConvBlock(nn.Module):
     param_dtype: Any = jnp.float32
     quant: QuantSpec | None = None
     deploy: bool = False   # BN pre-folded into conv (quant.deploy)
+    # explicit padding override (((t,b),(l,r))); None = kernel_size // 2
+    # symmetric. The space-to-depth stem needs the asymmetric ((1,0),(1,0)).
+    padding: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,7 +68,8 @@ class ConvBlock(nn.Module):
             self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding=self.kernel_size // 2,
+            padding=(self.padding if self.padding is not None
+                     else self.kernel_size // 2),
             feature_group_count=self.groups,
             use_bias=self.deploy,
             dtype=self.dtype,

@@ -44,6 +44,13 @@ class ModelConfig:
     # deploy mode: BatchNorm pre-folded into conv weights+bias
     # (quant.deploy.fold_batchnorm produces the matching variables).
     deploy: bool = False
+    # deploy-graph stem space-to-depth: the 640x640x3 stride-2 stem
+    # becomes a 320x320x12 stride-1 conv (2x2 kernel), eliminating the
+    # C=3 layout copies that cost ~30% of frame time on TPU (measured,
+    # RESULTS.md round 3). Weights via quant.deploy.fold_stem_space_to_
+    # depth; training keeps the standard stem (parity with the reference
+    # graph, model.py:172-176).
+    stem_s2d: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

@@ -164,6 +164,26 @@ def nv12_to_rgb(y_plane: jnp.ndarray, uv_plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., H/b, W/b, b*b*C), offsets flattened
+    row-major ((di, dj, c) -> di*b*C + dj*C + c).
+
+    The TPU stem transform: a 3-channel 640x640 conv input packs C=3 into
+    8/128-lane tiles so badly that XLA spends ~30% of frame time in layout
+    copies around the stem (measured: layer_table on BENCH_r02's trace —
+    copy.476/477/478, 28-248 GB/s). Blocking 2x2 turns the stride-2 3x3
+    stem into a stride-1 2x2 conv over 12 channels at quarter the spatial
+    positions (the public MLPerf-ResNet space-to-depth recipe); see
+    quant/deploy.fold_stem_space_to_depth for the weight-side transform.
+    """
+    *lead, h, w, c = x.shape
+    x = x.reshape(*lead, h // block, block, w // block, block, c)
+    ndim = len(lead)
+    perm = (*range(ndim), ndim, ndim + 2, ndim + 1, ndim + 3, ndim + 4)
+    x = jnp.transpose(x, perm)
+    return x.reshape(*lead, h // block, w // block, block * block * c)
+
+
 def letterbox(
     img: jnp.ndarray,
     out_size: int = 640,

@@ -68,6 +68,54 @@ def fold_batchnorm(
     return out
 
 
+def fold_stem_space_to_depth(deploy_variables: dict[str, Any]
+                             ) -> dict[str, Any]:
+    """BN-folded deploy variables -> variables for the space-to-depth stem
+    (``ModelConfig(deploy=True, stem_s2d=True)``).
+
+    Kernel math (1D, then separable in both spatial axes): the stride-2
+    3-tap conv with pad 1, ``out[o] = sum_k W3[k] x[2o-1+k]``, equals a
+    stride-1 2-tap conv over 2x-blocked input with a zero-padded 4-tap
+    kernel ``W4 = [0, W3]``:
+
+        out[o] = sum_{kb in {0,1}} sum_{d in {0,1}} W4[2kb+d] xb[o-1+kb, d]
+
+    so the blocked kernel is (2, 2, 4*C, O) with the (di, dj, c) offsets
+    flattened row-major — exactly ``ops.preprocess.space_to_depth``'s
+    layout — and the blocked conv uses padding ((1,0),(1,0)). Numerically
+    identical to the standard stem (same multiplies, same adds); only the
+    data layout changes. Bias and every other layer pass through.
+
+    This is the public MLPerf-ResNet TPU conv0 recipe, applied because the
+    C=3 stem measurably costs ~30% of frame time in XLA layout copies
+    (RESULTS.md round 3, layer_table on the r2 trace).
+    """
+    params = deploy_variables["params"]
+    stem = params.get("backbone", {}).get("stem", {}).get("conv")
+    if stem is None or "kernel" not in stem:
+        raise ValueError("no backbone/stem/conv kernel in deploy variables")
+    k = np.asarray(stem["kernel"], np.float32)
+    if k.shape[:3] != (3, 3, 3):
+        raise ValueError(f"stem kernel is {k.shape}, expected (3,3,3,O) — "
+                         "already transformed?")
+    O = k.shape[-1]
+    k4 = np.zeros((4, 4, 3, O), np.float32)
+    k4[1:, 1:] = k
+    # (4,4,C,O) -> (kbi, di, kbj, dj, C, O) -> (kbi, kbj, di, dj, C, O)
+    k4 = k4.reshape(2, 2, 2, 2, 3, O).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k4.reshape(2, 2, 12, O)
+
+    out = {kk: vv for kk, vv in deploy_variables.items()}
+    new_params = dict(params)
+    new_backbone = dict(params["backbone"])
+    new_stem_conv = dict(stem)
+    new_stem_conv["kernel"] = k2
+    new_backbone["stem"] = {"conv": new_stem_conv}
+    new_params["backbone"] = new_backbone
+    out["params"] = new_params
+    return out
+
+
 def quantize_weights_int8(
     deploy_variables: dict[str, Any],
     spec,

@@ -221,6 +221,7 @@ def export_serving_artifact(
         "base_channels": cfg.base_channels,
         "lite_p2": cfg.lite_p2,
         "input_size": cfg.input_size,
+        "stem_s2d": cfg.stem_s2d,
         "quantized": "quant" in v,
         "conf_threshold": conf_threshold,
         "iou_threshold": iou_threshold,
