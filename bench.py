@@ -53,7 +53,11 @@ from jax import lax
 from unina_yolo_dla_tpu.models import ModelConfig, init_model
 from unina_yolo_dla_tpu.models.detector import UninaYoloDla
 from unina_yolo_dla_tpu.quant.calibrate import select_amax
-from unina_yolo_dla_tpu.quant.deploy import fold_batchnorm, quantize_weights_int8
+from unina_yolo_dla_tpu.quant.deploy import (
+    fold_batchnorm,
+    fold_stem_space_to_depth,
+    quantize_weights_int8,
+)
 from unina_yolo_dla_tpu.ops.preprocess import ensure_normalized
 from unina_yolo_dla_tpu.quant.fake_quant import PERF_EXCLUDE, QuantSpec
 from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
@@ -317,9 +321,19 @@ def main() -> None:
         {k: variables[k] for k in ("params", "batch_stats")})
     int8_model, int8_vars = build_int8_fused(cfg, variables, frame)
 
+    # space-to-depth stem variants (identical math, no C=3 layout copies)
+    s2d_bf16_model = UninaYoloDla(dataclasses.replace(
+        cfg, deploy=True, stem_s2d=True))
+    s2d_bf16_vars = fold_stem_space_to_depth(bf16_vars)
+    s2d_int8_model = UninaYoloDla(dataclasses.replace(
+        int8_model.config, stem_s2d=True))
+    s2d_int8_vars = fold_stem_space_to_depth(int8_vars)
+
     engines = {
         "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars),
+        "bf16_s2d": (build_serving_fn(s2d_bf16_model, cfg), s2d_bf16_vars),
         "int8_fused": (build_serving_fn(int8_model, cfg), int8_vars),
+        "int8_s2d": (build_serving_fn(s2d_int8_model, cfg), s2d_int8_vars),
         "pallas_bf16": (build_serving_fn(bf16_model, cfg,
                                          use_pallas_kernels=True), bf16_vars),
     }
@@ -332,13 +346,17 @@ def main() -> None:
 
     # int8-vs-bf16 ordering with a significance call: the orderings only
     # count when the two engines' IQR intervals do not overlap
-    ab = None
-    if results.get("int8_fused") and results.get("bf16_folded"):
-        d = results["int8_fused"] - results["bf16_folded"]
-        sep = abs(d) > (iqrs["int8_fused"] + iqrs["bf16_folded"]) / 2
-        ab = {"delta_ms": round(d, 3),
-              "faster": "int8_fused" if d < 0 else "bf16_folded",
-              "significant": bool(sep)}
+    def pair_ab(a, b):
+        if not (results.get(a) and results.get(b)):
+            return None
+        d = results[a] - results[b]
+        sep = abs(d) > (iqrs[a] + iqrs[b]) / 2
+        return {"delta_ms": round(d, 3), "faster": a if d < 0 else b,
+                "significant": bool(sep)}
+
+    ab = pair_ab("int8_fused", "bf16_folded")
+    ab_s2d = pair_ab("int8_s2d", "bf16_s2d")
+    ab_stem = pair_ab("bf16_s2d", "bf16_folded")
 
     # --- throughput + MFU ---
     fps8 = measure_throughput(bf16_model, bf16_vars, rng)
@@ -380,6 +398,10 @@ def main() -> None:
         loop_i = make_loop(serve_i, 50)
         with trace("runs/bench_trace_int8") as _:
             float(loop_i(v_i, frame))
+        serve_s, v_s = engines["bf16_s2d"]
+        loop_s = make_loop(serve_s, 50)
+        with trace("runs/bench_trace_s2d") as _:
+            float(loop_s(v_s, frame))
         # batch-8 forward trace: the per-op bytes/flops behind the
         # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
         xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
@@ -412,6 +434,8 @@ def main() -> None:
                              for k, v in iqrs.items()},
                   "per_round_ms": rounds,
                   "int8_vs_bf16": ab,
+                  "int8_vs_bf16_s2d": ab_s2d,
+                  "s2d_vs_std_stem": ab_stem,
                   "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
                   "batch8_fps": round(fps8, 0),
                   "batch8_artifact": b8,
