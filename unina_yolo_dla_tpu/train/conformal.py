@@ -22,12 +22,7 @@ import json
 from pathlib import Path
 from typing import Iterable
 
-import jax
 import numpy as np
-
-from ..ops.decode import decode_outputs
-from ..ops.preprocess import ensure_normalized
-from ..ops.nms import nms
 
 
 def match_nonconformity_scores(
@@ -75,44 +70,25 @@ def calibrate_conformal_prediction(
     ``batches``: eval batches (images/boxes/labels/mask as in training).
     Decode runs WITHOUT dilation (q=0) — we are calibrating q.
     """
-    import jax.numpy as jnp
-
-    cfg = model.config
-
-    def fwd(v, images):
-        return model.apply(v, ensure_normalized(images), train=False)
-
-    fwd = jax.jit(fwd)
-    v = {k: variables[k] for k in ("params", "batch_stats", "quant")
-         if k in variables}
+    # one vmapped, jitted, compile-cached forward+decode+NMS graph over
+    # the whole batch (evaluate.predict_batches) — the previous per-image
+    # eager decode/NMS paid one host->device dispatch PER OP through the
+    # relay, turning a 2-minute calibration into a 10-minute one. Decode
+    # runs with q=0 (we are calibrating q); tail-padding slots are
+    # excluded (sample_valid), fixing the 208-vs-200 num_images advisor
+    # finding.
+    from ..evaluate import predict_batches
 
     scores: list[float] = []
     n_images = 0
-    for batch in batches:
-        outputs = fwd(v, jnp.asarray(batch["images"]))
-        B = batch["images"].shape[0]
-        # epoch-mode batches pad the tail with empty slots; counting them
-        # as calibration images overstated num_images (208 vs the real
-        # 200 on the r2 hard run — advisor finding)
-        sample_valid = batch.get("sample_valid", np.ones(B, bool))
-        n_images += int(np.sum(sample_valid))
-        for b in range(B):
-            if not sample_valid[b]:
-                continue
-            per_img = [(c[b:b + 1], r[b:b + 1]) for c, r in outputs]
-            dets = decode_outputs(per_img, cfg.strides,
-                                  conf_threshold=conf_threshold,
-                                  q_factor=0.0,
-                                  max_detections=max_detections)
-            dets = nms(dets)
-            valid = np.asarray(dets.valid)
-            pb = np.asarray(dets.boxes)[valid]
-            pc = np.asarray(dets.classes)[valid]
-            m = np.asarray(batch["mask"][b])
-            gb = np.asarray(batch["boxes"][b])[m]
-            gc = np.asarray(batch["labels"][b])[m]
-            scores.extend(match_nonconformity_scores(
-                pb, pc, gb, gc, iou_match))
+    for pred, gt, _idx in predict_batches(
+            model, variables, batches, conf_threshold=conf_threshold,
+            iou_threshold=0.45, q_factor=0.0,
+            max_detections=max_detections):
+        n_images += 1
+        # predict_batches yields conf-sorted (top-k) rows
+        scores.extend(match_nonconformity_scores(
+            pred[:, :4], pred[:, 5], gt[:, 1:5], gt[:, 0], iou_match))
 
     if not scores:
         raise RuntimeError(
