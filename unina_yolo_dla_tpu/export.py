@@ -70,16 +70,21 @@ def main(argv=None) -> None:
     p.add_argument("--format", default="bgra",
                    choices=("bgra", "rgb", "nv12"),
                    help="camera pixel format (with --camera)")
-    p.add_argument("--letterbox", action="store_true",
+    p.add_argument("--letterbox", action="store_true", default=True,
                    help="with --camera: bake aspect-preserving resize + "
-                        "gray pad on-chip (the TRAINING geometry) instead "
-                        "of the stretch resize — see the measured A/B in "
-                        "RESULTS.md")
-    p.add_argument("--box-space", default="model",
+                        "gray pad on-chip (the TRAINING geometry) — the "
+                        "DEFAULT: the measured A/B is +39 mAP50 pts over "
+                        "stretch on a 16:9 val set (RESULTS.md round 3)")
+    p.add_argument("--stretch", dest="letterbox", action="store_false",
+                   help="with --camera: the reference's literal stretch "
+                        "resize (cuda_preprocess.cu:144-204) instead of "
+                        "letterbox — costs ~39 mAP50 pts, kept for parity "
+                        "experiments")
+    p.add_argument("--box-space", default="camera",
                    choices=("model", "camera"),
                    help="with --camera: coordinate space of returned "
-                        "boxes; 'camera' undoes resize/pad inside the "
-                        "program")
+                        "boxes; 'camera' (default) undoes resize/pad "
+                        "inside the program")
     p.add_argument("--batch", type=int, default=None,
                    help="export the multi-stream artifact taking "
                         "(N, S, S, 3) RGB frames")

@@ -176,12 +176,13 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     positions (the public MLPerf-ResNet space-to-depth recipe); see
     quant/deploy.fold_stem_space_to_depth for the weight-side transform.
     """
-    *lead, h, w, c = x.shape
-    x = x.reshape(*lead, h // block, block, w // block, block, c)
-    ndim = len(lead)
-    perm = (*range(ndim), ndim, ndim + 2, ndim + 1, ndim + 3, ndim + 4)
-    x = jnp.transpose(x, perm)
-    return x.reshape(*lead, h // block, w // block, block * block * c)
+    # strided slices + channel concat, NOT reshape/6D-transpose: the
+    # transpose formulation lowers to a scalarised loop fusion on TPU
+    # (measured 0.69 ms/frame at 10 GB/s — worse than the copies it was
+    # meant to remove); slice+concat lowers to clean tiled copies
+    parts = [x[..., di::block, dj::block, :]
+             for di in range(block) for dj in range(block)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def letterbox(

@@ -191,7 +191,10 @@ def export_serving_artifact(
     # so the native hot loop has a single device->host read — the same
     # single-sync discipline as the reference's compacted-detections copy
     # (gpu_postprocess.cu:395-442, one D2H per frame).
-    v_const = jax.tree.map(jnp.asarray, v)
+    # host-side numpy constants: tracing then embeds them as literals with
+    # ZERO device traffic — baking must not depend on (or wedge on) a live
+    # accelerator; the program is cross-lowered for its target platform
+    v_const = jax.tree.map(np.asarray, v)
 
     def serve_packed(frame):
         dets = serve(v_const, frame)
@@ -203,9 +206,16 @@ def export_serving_artifact(
             dets.valid.astype(jnp.float32)[..., None],
         ], axis=-1)
 
-    baked_platforms = None
+    # the native executor passes exactly ONE argument, so the baked module
+    # must be single-platform (multi-platform export adds an index arg):
+    # prefer tpu out of a multi-platform request, else the current backend
     if platforms and len(platforms) == 1:
-        baked_platforms = platforms  # multi-platform adds an index arg
+        baked_platforms = tuple(platforms)
+    elif platforms:
+        baked_platforms = (("tpu",) if "tpu" in platforms
+                           else (platforms[0],))
+    else:
+        baked_platforms = None
     baked = jax_export.export(
         jax.jit(serve_packed), platforms=baked_platforms)(frame_spec)
     (output_dir / "serving_baked.stablehlo").write_bytes(
