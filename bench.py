@@ -98,12 +98,21 @@ def make_loop(serve, n: int):
 
 
 def fit_slope(mins: dict[int, float]) -> tuple[float, float]:
-    """(ms/frame, residual ms) least-squares over min-total vs loop len."""
+    """(ms/frame, residual ms) Theil-Sen over min-total vs loop length.
+
+    Median of the pairwise slopes, not least squares: one relay spike on
+    a single loop-length measurement skews an L2 fit arbitrarily (r3
+    evidence: a -0.415 ms/frame "latency" in one round), while the
+    pairwise-slope median tolerates it. Residual is against the
+    median-slope line through the median point."""
     ns = np.array(sorted(mins), dtype=np.float64)
     ys = np.array([mins[int(n)] for n in ns])
-    slope, intercept = np.polyfit(ns, ys, 1)
+    pair = [(ys[j] - ys[i]) / (ns[j] - ns[i])
+            for i in range(len(ns)) for j in range(i + 1, len(ns))]
+    slope = float(np.median(pair))
+    intercept = float(np.median(ys - slope * ns))
     resid = ys - (slope * ns + intercept)
-    return float(slope) * 1e3, float(np.abs(resid).max() / ns.mean()) * 1e3
+    return slope * 1e3, float(np.abs(resid).max() / ns.mean()) * 1e3
 
 
 def measure_interleaved(engines: dict[str, tuple[Any, Any]], frame,

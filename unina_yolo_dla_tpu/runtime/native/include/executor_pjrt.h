@@ -28,12 +28,16 @@ class PjrtExecutor : public Executor {
   InferStatus infer(const uint8_t* frame, int width, int height,
                     int channels, std::vector<Detection>* out) override;
 
-  // Depth-2 pipelined path: frame N+1's host->device transfer is
-  // enqueued while frame N executes (the async-enqueue + one-sync
-  // discipline of the reference, perception_node.cpp:598-645). Staging
-  // is double-buffered and the packed read buffer is allocated once at
-  // configure — no per-frame host allocation.
-  int pipeline_depth() const override { return 2; }
+  // Pipelined path: frame N+1's host->device transfer is enqueued
+  // while frame N executes (the async-enqueue + one-sync discipline of
+  // the reference, perception_node.cpp:598-645). Staging is
+  // double-buffered and the packed read buffer is allocated once at
+  // configure — no per-frame host allocation. The DEFAULT depth is
+  // hardware-aware (defined in the .cpp): 2 on a local plugin, 1 on the
+  // axon network relay, where the serialized transport makes interleaved
+  // uploads ADD a turnaround per frame (measured: 19.5 -> 13.3 fps,
+  // RESULTS.md round 3) instead of overlapping.
+  int pipeline_depth() const override;
   InferStatus submit(const uint8_t* frame, int width, int height,
                      int channels) override;
   InferStatus collect(std::vector<Detection>* out) override;

@@ -123,6 +123,7 @@ struct PjrtExecutor::Impl {
   std::string input_format = "rgb";
   int exp_w = 0, exp_h = 0;   // expected ring-frame geometry
   bool camera = false;        // raw upload (no host conversion)
+  bool relay_plugin = false;  // network-relay transport (axon tunnel)
   // double-buffered host staging (one per pipeline slot): the frame is
   // converted/copied here at submit so the bytes stay valid until the
   // async h2d completes — the caller's buffer is reusable immediately
@@ -200,6 +201,7 @@ PjrtExecutor::PjrtExecutor(const std::string& artifact_dir, int input_size,
   }
   impl_->max_detections = conf.max_detections;
   impl_->input_format = conf.input_format;
+  impl_->relay_plugin = conf.library.find("axon") != std::string::npos;
   impl_->camera = conf.in_height > 0 && conf.in_width > 0;
   impl_->exp_h = impl_->camera ? conf.in_height : input_size;
   impl_->exp_w = impl_->camera ? conf.in_width : input_size;
@@ -500,6 +502,19 @@ InferStatus PjrtExecutor::collect(std::vector<Detection>* out) {
     out->push_back(d);
   }
   return InferStatus::kOk;
+}
+
+int PjrtExecutor::pipeline_depth() const {
+  // Measured on the axon relay (RESULTS.md round 3, 2x interleaved
+  // 300-frame runs): the relay serializes all PJRT RPCs on one channel,
+  // so a depth-2 submit inserts frame N+1's ~1.2 MB upload between
+  // frame N's execute and its result fetch — every frame becomes three
+  // channel turnarounds instead of two (19.5 -> 13.3 fps, p50 49 ->
+  // 133 ms). Overlap only pays when h2d and execute use independent
+  // resources (local PCIe/DMA vs the systolic array), i.e. a real
+  // TPU-VM plugin; there the reference's one-sync discipline applies
+  // and depth 2 reclaims the upload window.
+  return impl_->relay_plugin ? 1 : 2;
 }
 
 InferStatus PjrtExecutor::infer(const uint8_t* frame, int width, int height,
