@@ -3,13 +3,18 @@
 
 Measures the full fused serving path — ImageNet-normalise preprocess +
 UNINA-YOLO-DLA forward + 3-level decode + exact greedy NMS (MXU fixpoint,
-K=1024) — as ONE jitted XLA program on the TPU, for THREE engines:
+K=1024) — as ONE jitted XLA program on the TPU, for FIVE engines:
 
-  bf16      BatchNorm folded (`export --fold-bn` graph)
-  int8      fused int8 chain (int8 MXU + int8 inter-layer activations,
-            `export --int8` graph; quant/qtensor.py)
-  pallas    bf16 graph with the hand-written Pallas preprocess/decode/NMS
-            kernels instead of the XLA-fused ops
+  bf16_folded  BatchNorm folded (`export --fold-bn` graph)
+  bf16_s2dh    + host-blocked space-to-depth stem (`export
+               --stem-s2d-host`): the stem is one MXU matmul; the input
+               is (S/2,S/2,12) (the host shuffle is NOT in this loop —
+               it fuses into the native host's staging pass)
+  int8_fused   fused int8 chain (int8 MXU + int8 inter-layer activations,
+               `export --int8` graph; quant/qtensor.py)
+  int8_s2dh    int8 chain + the host-s2d stem
+  pallas       bf16 graph with the hand-written Pallas preprocess/decode/
+               NMS kernels instead of the XLA-fused ops
 
 The headline value is the FASTEST MEASURED engine's latency; which engine
 that is is reported in extras (`export --int8` remains the default
@@ -115,18 +120,20 @@ def fit_slope(mins: dict[int, float]) -> tuple[float, float]:
     return slope * 1e3, float(np.abs(resid).max() / ns.mean()) * 1e3
 
 
-def measure_interleaved(engines: dict[str, tuple[Any, Any]], frame,
+def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
                         rng: np.random.Generator
                         ) -> tuple[dict, dict, dict]:
     """Interleaved repeated A/B over all engines in one invocation.
 
-    Round r measures every engine once (order shuffled per round); per
-    engine the value is the median of per-round slope fits, the spread the
-    IQR across rounds — the evidence standard VERDICT r2 set for the
+    ``engines[name] = (serve_fn, variables, frame)`` — each engine brings
+    its own input (s2d_host engines consume blocked frames). Round r
+    measures every engine once (order shuffled per round); per engine the
+    value is the median of per-round slope fits, the spread the IQR
+    across rounds — the evidence standard VERDICT r2 set for the
     int8-vs-bf16 ordering.
     """
     loops, failed = {}, {}
-    for name, (serve, v) in engines.items():
+    for name, (serve, v, frame) in engines.items():
         try:
             ls = {n: make_loop(serve, n) for n in LOOP_LENGTHS}
             for loop in ls.values():      # compile + relay warm-up
@@ -142,7 +149,7 @@ def measure_interleaved(engines: dict[str, tuple[Any, Any]], frame,
         order = list(loops)
         rng.shuffle(order)
         for name in order:
-            v = engines[name][1]
+            _, v, frame = engines[name]
             mins = {}
             for n in LOOP_LENGTHS:
                 t0 = time.perf_counter()
@@ -330,23 +337,37 @@ def main() -> None:
         {k: variables[k] for k in ("params", "batch_stats")})
     int8_model, int8_vars = build_int8_fused(cfg, variables, frame)
 
-    # space-to-depth stem variants (identical math, no C=3 layout copies)
-    s2d_bf16_model = UninaYoloDla(dataclasses.replace(
-        cfg, deploy=True, stem_s2d=True))
-    s2d_bf16_vars = fold_stem_space_to_depth(bf16_vars)
-    s2d_int8_model = UninaYoloDla(dataclasses.replace(
-        int8_model.config, stem_s2d=True))
-    s2d_int8_vars = fold_stem_space_to_depth(int8_vars)
+    # space-to-depth stem variants, shuffle on the HOST (s2d_host): the
+    # artifact consumes blocked (S/2,S/2,12) frames and the stem is one
+    # MXU matmul — the round-3 on-device-s2d variants measured SLOWER
+    # than the standard stem (the shuffle costs more than the copies it
+    # removes, bench_r3_preview) and were retired; these replace them
+    from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
+
+    s2dh_cfg = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                                   s2d_host=True)
+    s2dh_bf16_model = UninaYoloDla(s2dh_cfg)
+    s2dh_bf16_vars = fold_stem_space_to_depth(bf16_vars)
+    s2dh_int8_cfg = dataclasses.replace(
+        int8_model.config, stem_s2d=True, s2d_host=True)
+    s2dh_int8_model = UninaYoloDla(s2dh_int8_cfg)
+    s2dh_int8_vars = fold_stem_space_to_depth(int8_vars)
+    frame_s2d = jnp.asarray(space_to_depth_np(np.asarray(frame)))
 
     engines = {
-        "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars),
-        "bf16_s2d": (build_serving_fn(s2d_bf16_model, cfg), s2d_bf16_vars),
-        "int8_fused": (build_serving_fn(int8_model, cfg), int8_vars),
-        "int8_s2d": (build_serving_fn(s2d_int8_model, cfg), s2d_int8_vars),
+        "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars,
+                        frame),
+        "bf16_s2dh": (build_serving_fn(s2dh_bf16_model, s2dh_cfg),
+                      s2dh_bf16_vars, frame_s2d),
+        "int8_fused": (build_serving_fn(int8_model, cfg), int8_vars,
+                       frame),
+        "int8_s2dh": (build_serving_fn(s2dh_int8_model, s2dh_int8_cfg),
+                      s2dh_int8_vars, frame_s2d),
         "pallas_bf16": (build_serving_fn(bf16_model, cfg,
-                                         use_pallas_kernels=True), bf16_vars),
+                                         use_pallas_kernels=True),
+                        bf16_vars, frame),
     }
-    results, iqrs, rounds = measure_interleaved(engines, frame,
+    results, iqrs, rounds = measure_interleaved(engines,
                                                np.random.default_rng(7))
 
     ok = {k: v for k, v in results.items() if v is not None}
@@ -364,8 +385,8 @@ def main() -> None:
                 "significant": bool(sep)}
 
     ab = pair_ab("int8_fused", "bf16_folded")
-    ab_s2d = pair_ab("int8_s2d", "bf16_s2d")
-    ab_stem = pair_ab("bf16_s2d", "bf16_folded")
+    ab_s2d = pair_ab("int8_s2dh", "bf16_s2dh")
+    ab_stem = pair_ab("bf16_s2dh", "bf16_folded")
 
     # --- throughput + MFU ---
     fps8 = measure_throughput(bf16_model, bf16_vars, rng)
@@ -399,18 +420,18 @@ def main() -> None:
     try:
         from unina_yolo_dla_tpu.utils.profiling import trace
 
-        serve, v = engines["bf16_folded"]
+        serve, v, f = engines["bf16_folded"]
         loop = make_loop(serve, 50)
         with trace("runs/bench_trace") as d:
-            float(loop(v, frame))
-        serve_i, v_i = engines["int8_fused"]
+            float(loop(v, f))
+        serve_i, v_i, f_i = engines["int8_fused"]
         loop_i = make_loop(serve_i, 50)
         with trace("runs/bench_trace_int8") as _:
-            float(loop_i(v_i, frame))
-        serve_s, v_s = engines["bf16_s2d"]
+            float(loop_i(v_i, f_i))
+        serve_s, v_s, f_s = engines["bf16_s2dh"]
         loop_s = make_loop(serve_s, 50)
         with trace("runs/bench_trace_s2d") as _:
-            float(loop_s(v_s, frame))
+            float(loop_s(v_s, f_s))
         # batch-8 forward trace: the per-op bytes/flops behind the
         # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
         xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
@@ -443,8 +464,8 @@ def main() -> None:
                              for k, v in iqrs.items()},
                   "per_round_ms": rounds,
                   "int8_vs_bf16": ab,
-                  "int8_vs_bf16_s2d": ab_s2d,
-                  "s2d_vs_std_stem": ab_stem,
+                  "int8_vs_bf16_s2dh": ab_s2d,
+                  "s2dh_vs_std_stem": ab_stem,
                   "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
                   "batch8_fps": round(fps8, 0),
                   "batch8_artifact": b8,

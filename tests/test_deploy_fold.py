@@ -124,3 +124,51 @@ def test_stem_space_to_depth_exact_equivalence():
         np.asarray(b[0, 0, 0]),
         np.concatenate([np.asarray(t[0, 0, 0]), np.asarray(t[0, 0, 1]),
                         np.asarray(t[0, 1, 0]), np.asarray(t[0, 1, 1])]))
+
+
+def test_s2d_host_blocked_input_equivalence():
+    """s2d_host: the model consumes an ALREADY-blocked (S/2,S/2,12) input
+    (host-side shuffle, ops.preprocess.space_to_depth_np) and must match
+    the standard deploy stem exactly — the matmul stem (ShiftDot2x2) is
+    the same math as the conv (RESULTS.md round 3)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.ops.preprocess import (
+        space_to_depth,
+        space_to_depth_np,
+    )
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_stem_space_to_depth,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+    dep = dataclasses.replace(cfg, deploy=True)
+    s2dh = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                               s2d_host=True)
+    s2d_vars = fold_stem_space_to_depth(folded)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xb_np = space_to_depth_np(x)
+    # numpy host shuffle == the jnp op (same channel order contract)
+    np.testing.assert_array_equal(
+        xb_np, np.asarray(space_to_depth(jnp.asarray(x), 2)))
+
+    out_std = UninaYoloDla(dep).apply(folded, jnp.asarray(x), train=False)
+    out_h = UninaYoloDla(s2dh).apply(s2d_vars, jnp.asarray(xb_np),
+                                     train=False)
+    for (a1, a2), (b1, b2) in zip(out_std, out_h):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-4)

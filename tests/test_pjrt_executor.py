@@ -128,3 +128,64 @@ def test_pjrt_host_end_to_end(native_build, tpu_artifact, tmp_path):
     # detections block exists and carries a plausible result_seq
     blob = Path(dets).read_bytes()
     assert len(blob) > 16
+
+
+@pytest.fixture(scope="module")
+def tpu_artifact_s2dh(tmp_path_factory):
+    """Tiny s2d_host artifact: the C++ staging loop must block frames
+    (in.layout=s2d) before upload."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_stem_space_to_depth,
+    )
+    from unina_yolo_dla_tpu.runtime.aot import export_serving_artifact
+
+    out = tmp_path_factory.mktemp("pjrt_artifact_s2dh")
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+    s2dh = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                               s2d_host=True)
+    export_serving_artifact(UninaYoloDla(s2dh),
+                            fold_stem_space_to_depth(folded), out,
+                            max_detections=64, platforms=("tpu",))
+    assert "in.layout=s2d" in (out / "pjrt_plugin.conf").read_text()
+    return out
+
+
+def test_pjrt_host_s2d_staging(native_build, tpu_artifact_s2dh):
+    """perception_host serves an s2d_host artifact from plain RGB ring
+    frames — the space-to-depth shuffle runs in the C++ staging pass."""
+    ring = "/dev/shm/unina_pjrt_s2d_frames"
+    dets = "/dev/shm/unina_pjrt_s2d_dets"
+    for p in (ring, dets):
+        if os.path.exists(p):
+            os.unlink(p)
+
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce", "--ring", ring,
+         "--width", "64", "--height", "64", "--frames", "30000",
+         "--fps", "60"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        host = subprocess.run(
+            [str(native_build / "perception_host"),
+             "--artifact", str(tpu_artifact_s2dh), "--ring", ring,
+             "--out", dets, "--input", "64", "--classes", "4",
+             "--executor", "pjrt", "--max-frames", "20"],
+            capture_output=True, text=True, timeout=540)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=30)
+
+    assert host.returncode == 0, host.stderr[-4000:]
+    assert "[executor_pjrt] configured" in host.stderr
+    assert "frames=20" in host.stderr, host.stderr[-1000:]

@@ -128,3 +128,53 @@ def test_configure_rejects_wrong_dims(artifact_dir):
                            log_fn=lambda s: None)
     with pytest.raises(ValueError):
         srv.configure()
+
+
+def test_s2d_host_artifact_roundtrip(tmp_path):
+    """`export --stem-s2d-host` artifact: consumes blocked (S/2,S/2,12)
+    frames; ServingArtifact transparently blocks a standard (S,S,3) RGB
+    frame host-side; detections match the standard artifact's exactly
+    (the stem matmul is the same math — RESULTS.md round 3)."""
+    import dataclasses
+
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_stem_space_to_depth,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+
+    dep = dataclasses.replace(cfg, deploy=True)
+    std_out = tmp_path / "std"
+    export_serving_artifact(UninaYoloDla(dep), folded, std_out,
+                            max_detections=64)
+
+    s2dh = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                               s2d_host=True)
+    s2d_vars = fold_stem_space_to_depth(folded)
+    h_out = tmp_path / "s2dh"
+    export_serving_artifact(UninaYoloDla(s2dh), s2d_vars, h_out,
+                            max_detections=64)
+
+    hcfg = json.loads((h_out / "config.json").read_text())
+    assert hcfg["s2d_host"] is True
+    assert "in.layout=s2d" in (h_out / "pjrt_plugin.conf").read_text()
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+    want = jax.device_get(ServingArtifact(std_out)(jnp.asarray(frame)))
+    art = ServingArtifact(h_out)
+    # standard frame: blocked transparently by __call__
+    got = jax.device_get(art(jnp.asarray(frame)))
+    # pre-blocked frame: passes straight through
+    got_blocked = jax.device_get(art(jnp.asarray(space_to_depth_np(frame))))
+
+    for g in (got, got_blocked):
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(want[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(g[3]), np.asarray(want[3]))

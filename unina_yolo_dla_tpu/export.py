@@ -46,10 +46,22 @@ def main(argv=None) -> None:
                    help="comma-separated lowering targets (e.g. cpu,tpu) "
                         "for a portable artifact; default: current backend")
     p.add_argument("--stem-s2d", action="store_true",
-                   help="space-to-depth stem (deploy graphs only): "
-                        "numerically identical conv, eliminates the C=3 "
-                        "layout copies (~30%% of frame time on v5e — "
-                        "RESULTS.md round 3); implies --fold-bn")
+                   help="space-to-depth stem with the shuffle ON-DEVICE "
+                        "(deploy graphs only): numerically identical, but "
+                        "measured SLOWER than the standard stem — the "
+                        "device-side shuffle costs more than the C=3 "
+                        "layout copies it removes; kept for the A/B. Use "
+                        "--stem-s2d-host for the fast variant. Implies "
+                        "--fold-bn")
+    p.add_argument("--stem-s2d-host", action="store_true",
+                   help="space-to-depth stem with the shuffle on the "
+                        "HOST: the artifact consumes (S/2,S/2,12) blocked "
+                        "frames (ServingArtifact/the native host block "
+                        "(S,S,3) frames transparently), and the stem "
+                        "lowers to one MXU matmul — eliminates the C=3 "
+                        "stem layout copies (~31%% of frame time, "
+                        "RESULTS.md round 3). Implies --fold-bn; "
+                        "incompatible with --camera")
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
@@ -99,16 +111,19 @@ def main(argv=None) -> None:
         raise SystemExit("--int8 requires a calibrated checkpoint "
                          "(quant collection with activation amax; run "
                          "phase-2 QAT or prepare_qat_variables first)")
-    if args.fold_bn or args.int8 or args.stem_s2d:
+    if args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host:
         variables = fold_batchnorm(variables)
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
-    if args.stem_s2d:
+    if args.stem_s2d or args.stem_s2d_host:
         from .quant.deploy import fold_stem_space_to_depth
 
         variables = fold_stem_space_to_depth(variables)
-        cfg = dataclasses.replace(cfg, stem_s2d=True)
-        print(">>> stem space-to-depth folded (2x2 s1 over 12ch)")
+        cfg = dataclasses.replace(cfg, stem_s2d=True,
+                                  s2d_host=args.stem_s2d_host)
+        where = "host" if args.stem_s2d_host else "device"
+        print(f">>> stem space-to-depth folded (2x2 s1 over 12ch, "
+              f"shuffle on the {where})")
     if args.int8:
         if not args.int8_unfused:
             flat = jax.tree_util.tree_flatten_with_path(

@@ -32,12 +32,19 @@ class Backbone(nn.Module):
         if cfg.stem_s2d:
             # deploy-graph space-to-depth stem: same math, zero C=3 layout
             # copies (weights from quant.deploy.fold_stem_space_to_depth;
-            # derivation + measurement in that docstring / RESULTS.md)
-            from ..ops.preprocess import space_to_depth
+            # derivation + measurement in that docstring / RESULTS.md).
+            # s2d_host: the input arrives ALREADY blocked (S/2,S/2,12) —
+            # the shuffle runs on the host, where it is free inside the
+            # staging pass; on-device it costs more than it saves in
+            # every measured formulation. The blocked conv lowers through
+            # ShiftDot2x2 (one MXU dot), not lax.conv — 8x faster
+            # (tools/stem_probe.py, RESULTS.md round 3).
+            if not cfg.s2d_host:
+                from ..ops.preprocess import space_to_depth
 
-            x = space_to_depth(x, 2)
+                x = space_to_depth(x, 2)
             x = ConvBlock(c1, 2, strides=1, padding=((1, 0), (1, 0)),
-                          name="stem", **kw)(x, train)
+                          name="stem", shift_dot=True, **kw)(x, train)
         else:
             x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)
 

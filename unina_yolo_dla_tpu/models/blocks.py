@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -43,6 +44,45 @@ def concat_features(xs, axis: int = -1):
     return jnp.concatenate(xs, axis=axis)
 
 
+class ShiftDot2x2(nn.Module):
+    """2x2 stride-1 pad-((1,0),(1,0)) conv as shifted slices + ONE matmul.
+
+    The space-to-depth stem's conv. ``lax.conv_general_dilated`` at small
+    input channel counts lowers through internal layout-copy machinery
+    that costs 0.13-0.30 ms/frame on v5e regardless of formulation
+    (NHWC/NCHW/u8/f32 all measured, `tools/stem_probe.py`); the same math
+    as four stride-1 shifted slices concatenated to (H*W, 4C) and one
+    MXU dot measures 0.034 ms. Param layout identical to ``nn.Conv``
+    (kernel (2,2,C,O) "kernel", bias "bias") so
+    ``quant.deploy.fold_stem_space_to_depth`` weights load unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        h, w = x.shape[-3], x.shape[-2]
+        lead = x.shape[:-3]
+        xp = jnp.pad(x.astype(self.dtype),
+                     [(0, 0)] * len(lead) + [(1, 0), (1, 0), (0, 0)])
+        # (kh, kw) slice order matches kernel.reshape(4c, O) row-major
+        parts = [xp[..., kh:kh + h, kw:kw + w, :]
+                 for kh in range(2) for kw in range(2)]
+        patches = jnp.concatenate(parts, axis=-1).reshape(-1, 4 * c)
+        y = jax.lax.dot_general(
+            patches, kernel.astype(self.dtype).reshape(4 * c, self.features),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = y + bias.astype(jnp.float32)
+        return y.reshape(*lead, h, w, self.features).astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """Conv(no-bias) + BatchNorm + ReLU (reference model.py:23-50).
 
@@ -61,22 +101,30 @@ class ConvBlock(nn.Module):
     # explicit padding override (((t,b),(l,r))); None = kernel_size // 2
     # symmetric. The space-to-depth stem needs the asymmetric ((1,0),(1,0)).
     padding: Any = None
+    # lower the conv through ShiftDot2x2 (s2d stem only; the layer must
+    # be quant-excluded — the stem is, via DEFAULT_EXCLUDE)
+    shift_dot: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = QuantConv(
-            self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=(self.padding if self.padding is not None
-                     else self.kernel_size // 2),
-            feature_group_count=self.groups,
-            use_bias=self.deploy,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            quant=self.quant,
-            name="conv",
-        )(x)
+        if self.shift_dot:
+            assert self.kernel_size == 2 and self.strides == 1 and self.deploy
+            x = ShiftDot2x2(self.features, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="conv")(x)
+        else:
+            x = QuantConv(
+                self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=(self.padding if self.padding is not None
+                         else self.kernel_size // 2),
+                feature_group_count=self.groups,
+                use_bias=self.deploy,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                quant=self.quant,
+                name="conv",
+            )(x)
         if not self.deploy:
             x = nn.BatchNorm(
                 use_running_average=not train,

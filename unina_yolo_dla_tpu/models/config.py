@@ -51,6 +51,15 @@ class ModelConfig:
     # depth; training keeps the standard stem (parity with the reference
     # graph, model.py:172-176).
     stem_s2d: bool = False
+    # with stem_s2d: the graph INPUT is already space-to-depth blocked
+    # (S/2, S/2, 12) — the shuffle runs on the HOST (free inside the
+    # native host's per-pixel staging pass; one numpy transpose in the
+    # Python path), because on-device the shuffle costs more than the
+    # copies it removes in every formulation (RESULTS.md round 3). The
+    # stem then lowers to four stride-1 shifted slices + one
+    # (H*W, 4C) @ (4C, O) matmul — measured 8x faster than any
+    # lax.conv formulation of the same math (stem_probe.py).
+    s2d_host: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

@@ -185,6 +185,25 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
+def space_to_depth_np(x, block: int = 2):
+    """Host-side (numpy) space_to_depth, same (di, dj, c) channel order.
+
+    The ``s2d_host`` input path: the shuffle is a single numpy
+    transpose-copy (~1.2 MB at 640²) on the host — on-device every
+    formulation of it costs more than the layout copies it removes
+    (RESULTS.md round 3), on the host it is one memory pass (and the
+    native host fuses it into the staging conversion loop for free).
+    """
+    import numpy as np
+
+    *lead, h, w, c = x.shape
+    y = x.reshape(*lead, h // block, block, w // block, block, c)
+    nd = len(lead)
+    perm = (*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return np.ascontiguousarray(np.transpose(y, perm)).reshape(
+        *lead, h // block, w // block, block * block * c)
+
+
 def letterbox(
     img: jnp.ndarray,
     out_size: int = 640,

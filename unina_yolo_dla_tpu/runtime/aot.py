@@ -136,6 +136,11 @@ def export_serving_artifact(
     output_dir.mkdir(parents=True, exist_ok=True)
     if camera is not None and batch is not None:
         raise ValueError("camera and batch exports are mutually exclusive")
+    if cfg.s2d_host and camera is not None:
+        raise ValueError(
+            "s2d_host is incompatible with camera exports: the camera "
+            "program's frame lives on-device after the on-chip resize, so "
+            "there is no host staging pass to fuse the shuffle into")
 
     if camera is not None:
         cam_h, cam_w, cam_fmt = camera
@@ -156,11 +161,15 @@ def export_serving_artifact(
         serve = build_batch_serving_fn(model, cfg, conf_threshold,
                                        iou_threshold, q_factor,
                                        max_detections)
-        frame_shape = (batch, cfg.input_size, cfg.input_size, 3)
+        frame_shape = ((batch, cfg.input_size // 2, cfg.input_size // 2, 12)
+                       if cfg.s2d_host
+                       else (batch, cfg.input_size, cfg.input_size, 3))
     else:
         serve = build_serving_fn(model, cfg, conf_threshold, iou_threshold,
                                  q_factor, max_detections)
-        frame_shape = (cfg.input_size, cfg.input_size, 3)
+        frame_shape = ((cfg.input_size // 2, cfg.input_size // 2, 12)
+                       if cfg.s2d_host
+                       else (cfg.input_size, cfg.input_size, 3))
 
     v = {k: variables[k] for k in ("params", "batch_stats", "quant")
          if k in variables}
@@ -225,13 +234,14 @@ def export_serving_artifact(
     (output_dir / "compile_options.pb").write_bytes(
         _xc.CompileOptions().SerializeAsString())
     write_pjrt_conf(output_dir, max_detections=max_detections,
-                    camera=camera, batch=batch)
+                    camera=camera, batch=batch, s2d_host=cfg.s2d_host)
     (output_dir / "config.json").write_text(json.dumps({
         "num_classes": cfg.num_classes,
         "base_channels": cfg.base_channels,
         "lite_p2": cfg.lite_p2,
         "input_size": cfg.input_size,
         "stem_s2d": cfg.stem_s2d,
+        "s2d_host": cfg.s2d_host,
         "quantized": "quant" in v,
         "conf_threshold": conf_threshold,
         "iou_threshold": iou_threshold,
@@ -277,6 +287,14 @@ class ServingArtifact:
         self._call = jax.jit(exported.call)
 
     def __call__(self, frame: jnp.ndarray):
+        if self.config.get("s2d_host") and frame.shape[-1] == 3:
+            # the artifact consumes space-to-depth-blocked frames; the
+            # shuffle is the HOST's job (free in the native staging pass,
+            # one numpy transpose here) — on-device it costs more than
+            # the layout copies it removes (RESULTS.md round 3)
+            from ..ops.preprocess import space_to_depth_np
+
+            frame = space_to_depth_np(np.asarray(frame))
         return self._call(self.variables, frame)
 
 

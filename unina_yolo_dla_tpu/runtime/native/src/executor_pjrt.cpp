@@ -50,6 +50,7 @@ struct PluginConf {
   // BGRA/NV12/RGB at camera resolution, convert+resize runs on-chip
   std::string input_format = "rgb";
   int in_height = 0, in_width = 0;  // 0 -> model input_size square
+  bool s2d = false;  // in.layout=s2d: stage frames space-to-depth blocked
   std::vector<std::pair<std::string, std::string>> str_opts;
   std::vector<std::pair<std::string, int64_t>> i64_opts;
 };
@@ -75,6 +76,8 @@ PluginConf parse_conf(const std::string& path) {
       c.in_height = std::atoi(val.c_str());
     } else if (key == "in.width") {
       c.in_width = std::atoi(val.c_str());
+    } else if (key == "in.layout") {
+      c.s2d = (val == "s2d");
     } else if (key.rfind("in.", 0) == 0) {
       // other input-spec keys (e.g. in.batch) are not client options
     } else if (key.rfind("str.", 0) == 0) {
@@ -124,6 +127,8 @@ struct PjrtExecutor::Impl {
   int exp_w = 0, exp_h = 0;   // expected ring-frame geometry
   bool camera = false;        // raw upload (no host conversion)
   bool relay_plugin = false;  // network-relay transport (axon tunnel)
+  bool s2d = false;           // stage frames space-to-depth blocked
+  std::vector<uint8_t> rgb_tmp;  // BGRA/NV12 -> RGB scratch before s2d
   // double-buffered host staging (one per pipeline slot): the frame is
   // converted/copied here at submit so the bytes stay valid until the
   // async h2d completes — the caller's buffer is reusable immediately
@@ -202,6 +207,7 @@ PjrtExecutor::PjrtExecutor(const std::string& artifact_dir, int input_size,
   impl_->max_detections = conf.max_detections;
   impl_->input_format = conf.input_format;
   impl_->relay_plugin = conf.library.find("axon") != std::string::npos;
+  impl_->s2d = conf.s2d;
   impl_->camera = conf.in_height > 0 && conf.in_width > 0;
   impl_->exp_h = impl_->camera ? conf.in_height : input_size;
   impl_->exp_w = impl_->camera ? conf.in_width : input_size;
@@ -392,19 +398,49 @@ InferStatus PjrtExecutor::submit(const uint8_t* frame, int width, int height,
     // square-RGB program: host-side format normalisation (embed.py
     // parity) for BGRA / NV12 ring frames
     const int s = impl_->input_size;
+    const uint8_t* rgb = frame;
+    uint8_t* conv_dst = dst;
+    if (impl_->s2d && channels != 3) {
+      // convert into scratch first; the s2d block pass reads from it
+      impl_->rgb_tmp.resize(static_cast<size_t>(s) * s * 3);
+      conv_dst = impl_->rgb_tmp.data();
+    }
     if (channels == 4) {  // BGRA -> RGB
       const size_t n = static_cast<size_t>(s) * s;
       for (size_t i = 0; i < n; ++i) {
-        dst[i * 3 + 0] = frame[i * 4 + 2];
-        dst[i * 3 + 1] = frame[i * 4 + 1];
-        dst[i * 3 + 2] = frame[i * 4 + 0];
+        conv_dst[i * 3 + 0] = frame[i * 4 + 2];
+        conv_dst[i * 3 + 1] = frame[i * 4 + 1];
+        conv_dst[i * 3 + 2] = frame[i * 4 + 0];
       }
+      rgb = conv_dst;
     } else if (channels == 0) {  // NV12 planar
-      nv12_to_rgb(frame, s, s, dst);
+      nv12_to_rgb(frame, s, s, conv_dst);
+      rgb = conv_dst;
     } else if (channels == 3) {
-      std::memcpy(dst, frame, nbytes);
+      rgb = frame;
     } else {
       return InferStatus::kGeometryError;
+    }
+    if (impl_->s2d) {
+      // space-to-depth block (2x2): the program consumes (s/2, s/2, 12)
+      // with (di, dj, c) channel order — the shuffle that costs more
+      // than it saves on-device is one cache-friendly pass here
+      const int hh = s / 2, hw = s / 2;
+      for (int p = 0; p < hh; ++p) {
+        const uint8_t* r0 = rgb + static_cast<size_t>(2 * p) * s * 3;
+        const uint8_t* r1 = r0 + static_cast<size_t>(s) * 3;
+        uint8_t* row = dst + static_cast<size_t>(p) * hw * 12;
+        for (int q = 0; q < hw; ++q) {
+          std::memcpy(row + q * 12 + 0, r0 + q * 6, 6);   // (0,0),(0,1)
+          std::memcpy(row + q * 12 + 6, r1 + q * 6, 6);   // (1,0),(1,1)
+        }
+      }
+      dims[0] = hh;
+      dims[1] = hw;
+      dims[2] = 12;
+    } else if (rgb != dst) {
+      // channels==3 without s2d: plain copy into the staging slot
+      std::memcpy(dst, rgb, nbytes);
     }
   }
 

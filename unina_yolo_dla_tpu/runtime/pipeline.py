@@ -23,7 +23,24 @@ from ..models.config import (
 )
 from ..ops.decode import Detections, decode_outputs
 from ..ops.nms import nms, nms_fast
-from ..ops.preprocess import normalize, nv12_to_rgb, resize_bilinear_mxu
+from ..ops.preprocess import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    normalize,
+    nv12_to_rgb,
+    resize_bilinear_mxu,
+)
+
+
+def _normalize_for(cfg: ModelConfig, frames: jnp.ndarray) -> jnp.ndarray:
+    """uint8 frames -> normalised f32, layout-aware: s2d_host inputs are
+    (S/2, S/2, 12) blocked, so the per-channel constants tile 4x in the
+    same (di, dj, c) order as ``space_to_depth``."""
+    x = frames.astype(jnp.float32) / 255.0
+    if getattr(cfg, "s2d_host", False):
+        return normalize(x, mean=tuple(IMAGENET_MEAN) * 4,
+                         std=tuple(IMAGENET_STD) * 4)
+    return normalize(x)
 
 
 def build_serving_fn(
@@ -73,7 +90,7 @@ def build_serving_fn(
         return serve
 
     def serve(variables, frame: jnp.ndarray) -> Detections:
-        x = normalize(frame.astype(jnp.float32) / 255.0)
+        x = _normalize_for(cfg, frame)
         x = x[None]  # batch 1
         outputs = model.apply(variables, x, train=False)
         dets = decode_outputs(
@@ -100,7 +117,7 @@ def build_batch_serving_fn(
     """
 
     def serve(variables, frames: jnp.ndarray):
-        x = normalize(frames.astype(jnp.float32) / 255.0)
+        x = _normalize_for(cfg, frames)
         outputs = model.apply(variables, x, train=False)
 
         def post(per_image_outputs):

@@ -64,9 +64,12 @@ def pjrt_plugin_settings() -> tuple[str, dict[str, object]] | None:
 
 def write_pjrt_conf(artifact_dir: str | Path, max_detections: int,
                     camera: tuple[int, int, str] | None = None,
-                    batch: int | None = None) -> None:
+                    batch: int | None = None,
+                    s2d_host: bool = False) -> None:
     """``camera=(h, w, format)`` exports add input-spec keys so the native
-    executor uploads raw camera frames (convert+resize runs on-chip)."""
+    executor uploads raw camera frames (convert+resize runs on-chip).
+    ``s2d_host`` exports tell the executor to stage frames space-to-depth
+    blocked (S/2, S/2, 12) — the shuffle fuses into the staging pass."""
     # "in." keys describe the program's input tensor (read by the C++
     # executor); "str."/"i64." keys become PJRT client-create options.
     lines = [f"i64.max_detections={max_detections}"]
@@ -76,6 +79,8 @@ def write_pjrt_conf(artifact_dir: str | Path, max_detections: int,
                   f"in.width={camera[1]}"]
     if batch is not None:
         lines.append(f"in.batch={batch}")
+    if s2d_host:
+        lines.append("in.layout=s2d")
     settings = pjrt_plugin_settings()
     if settings is None:
         lines.insert(0, "library=")
