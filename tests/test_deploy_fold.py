@@ -172,3 +172,41 @@ def test_s2d_host_blocked_input_equivalence():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_stage1_s2d_blocked_downsample_equivalence():
+    """stage1_s2d: the blocked stage1 downsample (on-device reshape-
+    transpose s2d + shift-dot, quant.deploy.fold_downsample_space_to_
+    depth) must match the standard deploy graph."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_downsample_space_to_depth,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+    dep = dataclasses.replace(cfg, deploy=True)
+    blk = dataclasses.replace(cfg, deploy=True, stage1_s2d=True)
+    blk_vars = fold_downsample_space_to_depth(folded)
+    assert blk_vars["params"]["backbone"]["stage1_conv"]["conv"][
+        "kernel"].shape == (2, 2, 64, 32)
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out_std = UninaYoloDla(dep).apply(folded, x, train=False)
+    out_blk = UninaYoloDla(blk).apply(blk_vars, x, train=False)
+    for (a1, a2), (b1, b2) in zip(out_std, out_blk):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-4)

@@ -36,7 +36,7 @@ def slope(fn, w, x):
         @jax.jit
         def r(w, x):
             def it(i, acc):
-                return acc + fn(w, x + i.astype(x.dtype) * 1e-6).mean()
+                return acc + jnp.abs(fn(w, x + i.astype(x.dtype) * 1e-6)).mean()
             return lax.fori_loop(0, n, it, jnp.float32(0.))
         return r
     ts = {}
@@ -104,7 +104,7 @@ def main():
 
     def conv_s2(w, x):
         return lax.conv_general_dilated(
-            x[None], w, (2, 2), "SAME",
+            x[None], w, (2, 2), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)[0].astype(jnp.bfloat16)
 

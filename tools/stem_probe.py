@@ -36,7 +36,7 @@ def loop(fn, n):
     @jax.jit
     def run(w, x):
         def it(i, acc):
-            return acc + fn(w, x + i.astype(x.dtype)).mean()
+            return acc + jnp.abs(fn(w, x + i.astype(x.dtype))).mean()
         return lax.fori_loop(0, n, it, jnp.float32(0.0))
     return run
 

@@ -60,8 +60,14 @@ def main(argv=None) -> None:
                         "(S,S,3) frames transparently), and the stem "
                         "lowers to one MXU matmul — eliminates the C=3 "
                         "stem layout copies (~31%% of frame time, "
-                        "RESULTS.md round 3). Implies --fold-bn; "
-                        "incompatible with --camera")
+                        "RESULTS.md round 3). Implies --fold-bn and "
+                        "--stage1-s2d; incompatible with --camera")
+    p.add_argument("--stage1-s2d", action="store_true",
+                   help="blocked stage1 downsample (deploy graphs): "
+                        "on-device reshape-transpose s2d + shift-dot "
+                        "matmul, 2.7x the lax.conv lowering "
+                        "(tools/stage1_probe.py); no input-contract "
+                        "change. Implied by --stem-s2d-host")
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
@@ -111,7 +117,8 @@ def main(argv=None) -> None:
         raise SystemExit("--int8 requires a calibrated checkpoint "
                          "(quant collection with activation amax; run "
                          "phase-2 QAT or prepare_qat_variables first)")
-    if args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host:
+    if (args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host
+            or args.stage1_s2d):
         variables = fold_batchnorm(variables)
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
@@ -124,6 +131,13 @@ def main(argv=None) -> None:
         where = "host" if args.stem_s2d_host else "device"
         print(f">>> stem space-to-depth folded (2x2 s1 over 12ch, "
               f"shuffle on the {where})")
+    if args.stage1_s2d or args.stem_s2d_host:
+        from .quant.deploy import fold_downsample_space_to_depth
+
+        variables = fold_downsample_space_to_depth(variables)
+        cfg = dataclasses.replace(cfg, stage1_s2d=True)
+        print(">>> stage1 downsample blocked (2x2 s1 shift-dot, "
+              "contraction 128)")
     if args.int8:
         if not args.int8_unfused:
             flat = jax.tree_util.tree_flatten_with_path(

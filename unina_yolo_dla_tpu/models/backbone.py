@@ -49,7 +49,19 @@ class Backbone(nn.Module):
             x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)
 
         # Stage 1 -> P2 (stride 4, 160x160)
-        x = ConvBlock(c2, 3, strides=2, name="stage1_conv", **kw)(x, train)
+        if cfg.stage1_s2d:
+            # blocked downsample (deploy graphs): reshape-transpose s2d
+            # of the bf16 C=32 stem output + one contraction-128 matmul —
+            # 2.7x the lax.conv lowering (tools/stage1_probe.py; weights
+            # from quant.deploy.fold_downsample_space_to_depth)
+            from ..ops.preprocess import space_to_depth_rt
+
+            x = space_to_depth_rt(x, 2)
+            x = ConvBlock(c2, 2, strides=1, padding=((1, 0), (1, 0)),
+                          name="stage1_conv", shift_dot=True, **kw)(x, train)
+        else:
+            x = ConvBlock(c2, 3, strides=2, name="stage1_conv",
+                          **kw)(x, train)
         if cfg.lite_p2:
             p2 = ConvBlock(c2, 3, name="stage1_block", **kw)(x, train)
         else:

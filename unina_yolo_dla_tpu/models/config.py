@@ -60,6 +60,14 @@ class ModelConfig:
     # (H*W, 4C) @ (4C, O) matmul — measured 8x faster than any
     # lax.conv formulation of the same math (stem_probe.py).
     s2d_host: bool = False
+    # deploy-graph blocked stage1 downsample: the 3x3 stride-2
+    # stage1_conv becomes on-device space-to-depth (reshape-transpose —
+    # clean for bf16 C=32, unlike the u8 C=3 stem) + a 2x2 stride-1
+    # shift-dot matmul with contraction 4*32=128. Measured 0.201 ->
+    # 0.074 ms isolated (tools/stage1_probe.py); weights via
+    # quant.deploy.fold_downsample_space_to_depth. stage1_conv is
+    # quant-excluded (DEFAULT_EXCLUDE), so this composes with int8.
+    stage1_s2d: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

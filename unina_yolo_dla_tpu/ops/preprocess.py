@@ -185,6 +185,25 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
+def space_to_depth_rt(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """Reshape/transpose space_to_depth — for LARGE-channel on-device use.
+
+    Two formulations coexist deliberately: for the u8 C=3 frame the
+    6D-transpose lowers to a scalarised loop (0.69 ms) and slice+concat
+    to slow copies (2.3 ms) — there the shuffle belongs on the HOST
+    (``space_to_depth_np``). For bf16 C>=32 activations the transpose
+    moves contiguous 64+ B channel vectors and lowers cleanly (stage1:
+    0.002 ms inside the 0.074 ms blocked downsample vs 0.85 ms for
+    slice+concat — `tools/stage1_probe.py`). Same (di, dj, c) order.
+    """
+    *lead, h, w, c = x.shape
+    x = x.reshape(*lead, h // block, block, w // block, block, c)
+    nd = len(lead)
+    perm = (*range(nd), nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    return jnp.transpose(x, perm).reshape(
+        *lead, h // block, w // block, block * block * c)
+
+
 def space_to_depth_np(x, block: int = 2):
     """Host-side (numpy) space_to_depth, same (di, dj, c) channel order.
 

@@ -90,27 +90,54 @@ def fold_stem_space_to_depth(deploy_variables: dict[str, Any]
     C=3 stem measurably costs ~30% of frame time in XLA layout copies
     (RESULTS.md round 3, layer_table on the r2 trace).
     """
+    return _fold_layer_space_to_depth(deploy_variables, "stem",
+                                      expect_cin=3)
+
+
+def fold_downsample_space_to_depth(deploy_variables: dict[str, Any],
+                                   layer: str = "stage1_conv"
+                                   ) -> dict[str, Any]:
+    """The same (3,3,C,O) -> (2,2,4C,O) blocking for a deeper stride-2
+    downsample conv (``ModelConfig(stage1_s2d=True)`` consumes it).
+
+    Why it also wins past the stem: stride-2 convs at large spatial sizes
+    pay the same internal relayout machinery at smaller scale —
+    stage1_conv (C32->64 at 320²) measured 0.201 ms as lax.conv vs
+    0.074 ms as reshape-transpose s2d + shift-dot (contraction 4*32=128,
+    MXU-ideal; `tools/stage1_probe.py`, RESULTS.md round 3). The C=32
+    bf16 shuffle lowers cleanly, unlike the u8 C=3 stem case (which
+    needs the host-side shuffle instead).
+    """
+    return _fold_layer_space_to_depth(deploy_variables, layer,
+                                      expect_cin=None)
+
+
+def _fold_layer_space_to_depth(deploy_variables: dict[str, Any],
+                               layer: str,
+                               expect_cin: int | None) -> dict[str, Any]:
     params = deploy_variables["params"]
-    stem = params.get("backbone", {}).get("stem", {}).get("conv")
-    if stem is None or "kernel" not in stem:
-        raise ValueError("no backbone/stem/conv kernel in deploy variables")
-    k = np.asarray(stem["kernel"], np.float32)
-    if k.shape[:3] != (3, 3, 3):
-        raise ValueError(f"stem kernel is {k.shape}, expected (3,3,3,O) — "
-                         "already transformed?")
-    O = k.shape[-1]
-    k4 = np.zeros((4, 4, 3, O), np.float32)
+    conv = params.get("backbone", {}).get(layer, {}).get("conv")
+    if conv is None or "kernel" not in conv:
+        raise ValueError(f"no backbone/{layer}/conv kernel in deploy "
+                         "variables")
+    k = np.asarray(conv["kernel"], np.float32)
+    if k.ndim != 4 or k.shape[:2] != (3, 3) or (
+            expect_cin is not None and k.shape[2] != expect_cin):
+        raise ValueError(f"{layer} kernel is {k.shape}, expected "
+                         "(3,3,C,O) — already transformed?")
+    C, O = k.shape[2], k.shape[3]
+    k4 = np.zeros((4, 4, C, O), np.float32)
     k4[1:, 1:] = k
     # (4,4,C,O) -> (kbi, di, kbj, dj, C, O) -> (kbi, kbj, di, dj, C, O)
-    k4 = k4.reshape(2, 2, 2, 2, 3, O).transpose(0, 2, 1, 3, 4, 5)
-    k2 = k4.reshape(2, 2, 12, O)
+    k4 = k4.reshape(2, 2, 2, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k4.reshape(2, 2, 4 * C, O)
 
     out = {kk: vv for kk, vv in deploy_variables.items()}
     new_params = dict(params)
     new_backbone = dict(params["backbone"])
-    new_stem_conv = dict(stem)
-    new_stem_conv["kernel"] = k2
-    new_backbone["stem"] = {"conv": new_stem_conv}
+    new_conv = dict(conv)
+    new_conv["kernel"] = k2
+    new_backbone[layer] = {"conv": new_conv}
     new_params["backbone"] = new_backbone
     out["params"] = new_params
     return out

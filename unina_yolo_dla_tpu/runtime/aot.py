@@ -242,6 +242,7 @@ def export_serving_artifact(
         "input_size": cfg.input_size,
         "stem_s2d": cfg.stem_s2d,
         "s2d_host": cfg.s2d_host,
+        "stage1_s2d": cfg.stage1_s2d,
         "quantized": "quant" in v,
         "conf_threshold": conf_threshold,
         "iou_threshold": iou_threshold,
