@@ -163,3 +163,42 @@ def test_nms_chain_case():
                       jnp.zeros(3, jnp.int32), jnp.ones(3, bool))
     keep = np.asarray(nms(dets, 0.3).valid)
     np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_serving_approx_topk_matches_exact():
+    """The serving pipeline decodes with the TPU PartialReduce top-k
+    (exact_topk=False). In the serving regime — valid candidates only
+    above conf_threshold, #valid << K — the approx pass must return
+    exactly the same detection SET as the sort-based top-k."""
+    import numpy as np
+
+    from unina_yolo_dla_tpu.ops.decode import decode_outputs
+
+    rng = np.random.default_rng(5)
+    levels = []
+    for g, s in (((16, 16), 4), ((8, 8), 8), ((4, 4), 16)):
+        cls = rng.normal(-4.0, 1.0, (1, *g, 4)).astype(np.float32)
+        # a handful of confident cells
+        for _ in range(6):
+            cls[0, rng.integers(g[0]), rng.integers(g[1]),
+                rng.integers(4)] = 4.0
+        reg = rng.uniform(0.5, 3.0, (1, *g, 4)).astype(np.float32)
+        levels.append((jnp.asarray(cls), jnp.asarray(reg)))
+
+    exact = decode_outputs(levels, (4, 8, 16), conf_threshold=0.5,
+                           q_factor=0.0, max_detections=64,
+                           exact_topk=True)
+    approx = decode_outputs(levels, (4, 8, 16), conf_threshold=0.5,
+                            q_factor=0.0, max_detections=64,
+                            exact_topk=False)
+    ve = np.asarray(exact.valid)
+    va = np.asarray(approx.valid)
+    assert ve.sum() == va.sum() > 0
+    # same (score, box) multiset among valid rows
+    def rows(d, v):
+        r = np.concatenate([np.asarray(d.boxes)[v],
+                            np.asarray(d.scores)[v, None],
+                            np.asarray(d.classes)[v, None].astype(np.float32)],
+                           axis=1)
+        return sorted(map(tuple, np.round(r, 4)))
+    assert rows(exact, ve) == rows(approx, va)

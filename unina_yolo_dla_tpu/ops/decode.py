@@ -96,12 +96,17 @@ def decode_outputs(
     conf_threshold: float = DEFAULT_CONF_THRESHOLD,
     q_factor: float = DEFAULT_CP_Q,
     max_detections: int = MAX_DETECTIONS,
+    exact_topk: bool = True,
 ) -> Detections:
     """Decode all levels of a SINGLE image and compact to ``max_detections``.
 
     ``outputs`` is the model's ``[(cls, reg), ...]`` with leading batch dim 1
     or no batch dim. Compaction = top-k over masked scores (replaces the
     reference's atomic append; deterministic and static-shaped).
+    ``exact_topk=False`` switches to the faster TPU PartialReduce — the
+    SERVING default (see inline note for when it is provably identical);
+    eval/mining keep the exact sort because they decode at conf 0.001,
+    where #valid >> K and a 0.99-recall pass could differ at the tail.
     """
     all_boxes, all_scores, all_classes, all_valid = [], [], [], []
     for (cls_l, reg_l), s in zip(outputs, strides):
@@ -121,7 +126,19 @@ def decode_outputs(
     # Masked top-k: invalid cells sink to -1 so they sort last.
     masked = jnp.where(valid, scores, -1.0)
     k = min(max_detections, masked.shape[0])
-    top_scores, top_idx = jax.lax.top_k(masked, k)
+    if exact_topk or k >= masked.shape[0]:
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+    else:
+        # TPU PartialReduce (ApproxTopK): 0.072 -> 0.040 ms at
+        # N=33.6k/K=1024 (RESULTS.md round 3). In the operating regime
+        # the result is EXACTLY the top-k set: candidates are valid only
+        # above conf_threshold, so the #valid <= K cap (the reference's
+        # own max-detections contract, gpu_postprocess.cu atomic append)
+        # means every valid row is returned; only sub-threshold
+        # (already-invalid) tail rows can differ. exact_topk=True
+        # restores the sort-based path.
+        top_scores, top_idx = jax.lax.approx_max_k(
+            masked, k, recall_target=0.99)
     return Detections(
         boxes=boxes[top_idx],
         scores=scores[top_idx],

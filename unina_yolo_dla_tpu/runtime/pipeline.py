@@ -94,7 +94,8 @@ def build_serving_fn(
         x = x[None]  # batch 1
         outputs = model.apply(variables, x, train=False)
         dets = decode_outputs(
-            outputs, cfg.strides, conf_threshold, q_factor, max_detections)
+            outputs, cfg.strides, conf_threshold, q_factor, max_detections,
+            exact_topk=False)
         if use_greedy_nms:
             return nms(dets, iou_threshold)
         return nms_fast(dets, iou_threshold)
@@ -121,9 +122,16 @@ def build_batch_serving_fn(
         outputs = model.apply(variables, x, train=False)
 
         def post(per_image_outputs):
+            # exact sort-based top-k here: an approx-vs-exact A/B through
+            # the committed b8 artifact measured NO difference at B=8
+            # (866 fps both, same session — the vmapped compaction is not
+            # the batched bottleneck), so the batch path keeps the
+            # simpler exact sort; the batch-1 path keeps the measured
+            # PartialReduce win (0.072 -> 0.040 ms).
             dets = decode_outputs(
                 [(c[None], r[None]) for c, r in per_image_outputs],
-                cfg.strides, conf_threshold, q_factor, max_detections)
+                cfg.strides, conf_threshold, q_factor, max_detections,
+                exact_topk=True)
             return nms(dets, iou_threshold)
 
         return jax.vmap(post)([(c, r) for c, r in outputs])
@@ -195,7 +203,8 @@ def build_camera_serving_fn(
         x = normalize(resized / 255.0)[None]
         outputs = model.apply(variables, x, train=False)
         dets = decode_outputs(
-            outputs, cfg.strides, conf_threshold, q_factor, max_detections)
+            outputs, cfg.strides, conf_threshold, q_factor, max_detections,
+            exact_topk=False)
         dets = nms(dets, iou_threshold)
         if box_space == "camera":
             b = dets.boxes
