@@ -277,3 +277,60 @@ def test_host_camera_resolution_bgra(native_build, tmp_path_factory,
     raw = dets.read_bytes()
     seq, = struct.unpack_from("<Q", raw, 8)
     assert seq > 0
+
+
+def test_host_end_to_end_s2d_artifact(native_build, tmp_path_factory,
+                                      tmp_path):
+    """The native host serves an s2d_host artifact through the embedded
+    Python executor from plain RGB ring frames — embed.py hands RGB to
+    ServingArtifact, which blocks transparently (the C++ pjrt staging
+    path has its own axon-gated test)."""
+    import dataclasses
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_downsample_space_to_depth,
+        fold_stem_space_to_depth,
+    )
+    from unina_yolo_dla_tpu.runtime.aot import export_serving_artifact
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+    s2dh = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                               s2d_host=True, stage1_s2d=True)
+    v = fold_downsample_space_to_depth(fold_stem_space_to_depth(folded))
+    out = tmp_path_factory.mktemp("native_s2d_artifact")
+    export_serving_artifact(UninaYoloDla(s2dh), v, out, max_detections=64)
+
+    ring = tmp_path / "frames.ring"
+    dets = tmp_path / "dets.out"
+    env = dict(os.environ)
+    env["UNINA_FORCE_CPU"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+
+    host = subprocess.Popen(
+        [str(native_build / "perception_host"),
+         "--artifact", str(out), "--ring", str(ring),
+         "--out", str(dets), "--input", str(IMG), "--classes", "4",
+         "--max-frames", "5"],
+        env=env, stderr=subprocess.PIPE, text=True)
+    producer = subprocess.Popen(
+        [str(native_build / "ring_tool"), "produce",
+         "--ring", str(ring), "--width", str(IMG), "--height", str(IMG),
+         "--frames", "3000", "--fps", "30", "--slots", "4"],
+        stderr=subprocess.PIPE, text=True)
+    try:
+        _, host_err = host.communicate(timeout=280)
+    finally:
+        producer.terminate()
+        producer.wait(timeout=10)
+        if host.poll() is None:
+            host.kill()
+
+    assert host.returncode == 0, f"host failed:\n{host_err}"
+    assert "frames=5" in host_err
