@@ -13,6 +13,10 @@ K=1024) — as ONE jitted XLA program on the TPU, for FIVE engines:
   int8_fused   fused int8 chain (int8 MXU + int8 inter-layer activations,
                `export --int8` graph; quant/qtensor.py)
   int8_s2dh    int8 chain + the host-s2d stem
+  bf16_s2dm /  column-MERGED engines (`export --s2d-merged`): same host
+  int8_s2dm    bytes viewed (S/2,S/4,24), stem matmul emits merged
+               columns, stage1 is ONE fused Pallas VMEM pass
+               (ops/pallas/stage1_kernel.py)
   pallas       bf16 graph with the hand-written Pallas preprocess/decode/
                NMS kernels instead of the XLA-fused ops
 
@@ -359,7 +363,10 @@ def main() -> None:
     # than the standard stem (the shuffle costs more than the copies it
     # removes, bench_r3_preview) and were retired; these replace them
     from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
-    from unina_yolo_dla_tpu.quant.deploy import fold_downsample_space_to_depth
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_downsample_space_to_depth,
+        merge_stem_columns,
+    )
 
     s2dh_cfg = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
                                    s2d_host=True, stage1_s2d=True)
@@ -373,15 +380,31 @@ def main() -> None:
         fold_stem_space_to_depth(int8_vars))
     frame_s2d = jnp.asarray(space_to_depth_np(np.asarray(frame)))
 
+    # column-MERGED engines (s2d_merged): same host bytes viewed
+    # (S/2,S/4,24); the stem matmul emits merged columns and stage1 is
+    # the fused Pallas VMEM pass (ops/pallas/stage1_kernel.py)
+    s2dm_cfg = dataclasses.replace(s2dh_cfg, s2d_merged=True)
+    s2dm_bf16_model = UninaYoloDla(s2dm_cfg)
+    s2dm_bf16_vars = merge_stem_columns(s2dh_bf16_vars)
+    s2dm_int8_cfg = dataclasses.replace(s2dh_int8_cfg, s2d_merged=True)
+    s2dm_int8_model = UninaYoloDla(s2dm_int8_cfg)
+    s2dm_int8_vars = merge_stem_columns(s2dh_int8_vars)
+    fs = np.asarray(frame_s2d)
+    frame_s2dm = jnp.asarray(fs.reshape(fs.shape[0], fs.shape[1] // 2, 24))
+
     engines = {
         "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars,
                         frame),
         "bf16_s2dh": (build_serving_fn(s2dh_bf16_model, s2dh_cfg),
                       s2dh_bf16_vars, frame_s2d),
+        "bf16_s2dm": (build_serving_fn(s2dm_bf16_model, s2dm_cfg),
+                      s2dm_bf16_vars, frame_s2dm),
         "int8_fused": (build_serving_fn(int8_model, cfg), int8_vars,
                        frame),
         "int8_s2dh": (build_serving_fn(s2dh_int8_model, s2dh_int8_cfg),
                       s2dh_int8_vars, frame_s2d),
+        "int8_s2dm": (build_serving_fn(s2dm_int8_model, s2dm_int8_cfg),
+                      s2dm_int8_vars, frame_s2dm),
         "pallas_bf16": (build_serving_fn(bf16_model, cfg,
                                          use_pallas_kernels=True),
                         bf16_vars, frame),
@@ -406,6 +429,7 @@ def main() -> None:
     ab = pair_ab("int8_fused", "bf16_folded")
     ab_s2d = pair_ab("int8_s2dh", "bf16_s2dh")
     ab_stem = pair_ab("bf16_s2dh", "bf16_folded")
+    ab_merged = pair_ab("int8_s2dm", "int8_s2dh")
 
     # --- throughput + MFU ---
     fps8 = measure_throughput(bf16_model, bf16_vars, rng)
@@ -485,6 +509,7 @@ def main() -> None:
                   "int8_vs_bf16": ab,
                   "int8_vs_bf16_s2dh": ab_s2d,
                   "s2dh_vs_std_stem": ab_stem,
+                  "s2dm_vs_s2dh_int8": ab_merged,
                   "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
                   "batch8_fps": round(fps8, 0),
                   "batch8_artifact": b8,

@@ -210,3 +210,54 @@ def test_stage1_s2d_blocked_downsample_equivalence():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_merged_engine_equivalence():
+    """s2d_merged: the column-merged engine (merged stem matmul + fused
+    stage1, quant.deploy.merge_stem_columns) consumes the SAME host bytes
+    as s2d_host viewed (S/2,S/4,24) and must match the standard deploy
+    graph — same multiplies/adds, only the layout changes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unina_yolo_dla_tpu.models import ModelConfig, init_model
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_downsample_space_to_depth,
+        fold_stem_space_to_depth,
+        merge_stem_columns,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+    dep = dataclasses.replace(cfg, deploy=True)
+    merged_cfg = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                                     s2d_host=True, stage1_s2d=True,
+                                     s2d_merged=True)
+    m_vars = merge_stem_columns(fold_downsample_space_to_depth(
+        fold_stem_space_to_depth(folded)))
+    # merged stem kernel: (2,2,2*12,2*c1), bias tiled 2x
+    stem_k = m_vars["params"]["backbone"]["stem"]["conv"]["kernel"]
+    assert stem_k.shape == (2, 2, 24, 32)
+    assert m_vars["params"]["backbone"]["stem"]["conv"]["bias"].shape == (32,)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    xb = space_to_depth_np(x)                        # (1, 32, 32, 12)
+    xm = xb.reshape(1, 32, 16, 24)                   # same bytes, merged
+
+    out_std = UninaYoloDla(dep).apply(folded, jnp.asarray(x), train=False)
+    out_m = UninaYoloDla(merged_cfg).apply(m_vars, jnp.asarray(xm),
+                                           train=False)
+    for (a1, a2), (b1, b2) in zip(out_std, out_m):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                                   rtol=1e-4, atol=1e-4)

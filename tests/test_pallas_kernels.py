@@ -130,3 +130,48 @@ def test_resize_mxu_matches_gather_resize(rng):
     a = np.asarray(resize_bilinear(jnp.asarray(img), 64, 64))
     b = np.asarray(resize_bilinear_mxu(jnp.asarray(img), 64, 64))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-2)
+
+
+def test_fused_stage1_merged_matches_conv(rng):
+    """fused_downsample_merged (both the Pallas-interpret and the XLA
+    forms) == ReLU(lax.conv 3x3 stride-2 + bias) on the merged view of
+    the same input (the s2d_merged stage1 contract)."""
+    from jax import lax
+
+    from unina_yolo_dla_tpu.ops.pallas.stage1_kernel import (
+        fused_downsample_merged,
+        merged_from_standard,
+    )
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,  # noqa: F401  (import parity with module docs)
+    )
+
+    h, ci, co = 32, 8, 16
+    x = rng.normal(0, 1, (h, h, ci)).astype(np.float32)
+    w3 = rng.normal(0, 0.1, (3, 3, ci, co)).astype(np.float32)
+    bias = rng.normal(0, 0.1, (co,)).astype(np.float32)
+
+    want = lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(w3), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    want = np.asarray(jnp.maximum(want + bias, 0.0))
+
+    # blocked (2,2,4C,O) kernel via the deploy fold's math
+    k4 = np.zeros((4, 4, ci, co), np.float32)
+    k4[1:, 1:] = w3
+    k4 = k4.reshape(2, 2, 2, 2, ci, co).transpose(0, 2, 1, 3, 4, 5)
+    wb = jnp.asarray(k4.reshape(2, 2, 4 * ci, co))
+
+    xm = jnp.asarray(merged_from_standard(x))
+    got_xla = np.asarray(fused_downsample_merged(
+        xm, wb, jnp.asarray(bias), use_pallas=False))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-4)
+
+    got_pl = np.asarray(fused_downsample_merged(
+        xm, wb, jnp.asarray(bias), use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-4)
+
+    # batched (leading-axis) form
+    got_b = np.asarray(fused_downsample_merged(
+        xm[None], wb, jnp.asarray(bias), use_pallas=False))[0]
+    np.testing.assert_allclose(got_b, want, rtol=1e-4, atol=1e-4)

@@ -62,6 +62,14 @@ def main(argv=None) -> None:
                         "stem layout copies (~31%% of frame time, "
                         "RESULTS.md round 3). Implies --fold-bn and "
                         "--stage1-s2d; incompatible with --camera")
+    p.add_argument("--s2d-merged", action="store_true",
+                   help="column-MERGED engine: --stem-s2d-host input "
+                        "bytes viewed as (S/2,S/4,24), the stem matmul "
+                        "emits merged columns directly, and stage1 runs "
+                        "as ONE fused Pallas VMEM pass (s2d + shift-dot "
+                        "+ bias + ReLU) — the fastest measured stage1 "
+                        "lowering (0.036 vs 0.082 ms isolated). Implies "
+                        "--stem-s2d-host")
     p.add_argument("--stage1-s2d", action="store_true",
                    help="blocked stage1 downsample (deploy graphs): "
                         "on-device reshape-transpose s2d + shift-dot "
@@ -117,6 +125,8 @@ def main(argv=None) -> None:
         raise SystemExit("--int8 requires a calibrated checkpoint "
                          "(quant collection with activation amax; run "
                          "phase-2 QAT or prepare_qat_variables first)")
+    if args.s2d_merged:
+        args.stem_s2d_host = True
     if (args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host
             or args.stage1_s2d):
         variables = fold_batchnorm(variables)
@@ -138,6 +148,13 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, stage1_s2d=True)
         print(">>> stage1 downsample blocked (2x2 s1 shift-dot, "
               "contraction 128)")
+    if args.s2d_merged:
+        from .quant.deploy import merge_stem_columns
+
+        variables = merge_stem_columns(variables)
+        cfg = dataclasses.replace(cfg, s2d_merged=True)
+        print(">>> stem columns merged: input (S/2,S/4,24), stage1 is "
+              "the fused Pallas VMEM pass")
     if args.int8:
         if not args.int8_unfused:
             flat = jax.tree_util.tree_flatten_with_path(

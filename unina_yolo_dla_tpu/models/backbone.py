@@ -12,7 +12,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import C3k2, ConvBlock, SPPF
+from .blocks import C3k2, ConvBlock, MergedDownsample, SPPF
 from .config import ModelConfig
 
 
@@ -43,13 +43,26 @@ class Backbone(nn.Module):
                 from ..ops.preprocess import space_to_depth
 
                 x = space_to_depth(x, 2)
-            x = ConvBlock(c1, 2, strides=1, padding=((1, 0), (1, 0)),
+            # s2d_merged: the input arrives as the SAME bytes viewed
+            # (S/2, S/4, 24) and the stem matmul emits merged columns
+            # directly — 2*c1 output lanes, weights from
+            # quant.deploy.merge_stem_columns. Same ShiftDot lowering.
+            stem_feats = 2 * c1 if cfg.s2d_merged else c1
+            x = ConvBlock(stem_feats, 2, strides=1, padding=((1, 0), (1, 0)),
                           name="stem", shift_dot=True, **kw)(x, train)
         else:
             x = ConvBlock(c1, 3, strides=2, name="stem", **kw)(x, train)
 
         # Stage 1 -> P2 (stride 4, 160x160)
-        if cfg.stage1_s2d:
+        if cfg.s2d_merged:
+            # fused merged-layout downsample: s2d shuffle + shift-dot +
+            # bias + ReLU in ONE VMEM pass (ops/pallas/stage1_kernel.py)
+            # on the merged stem output — replaces the 5-HBM-pass
+            # space_to_depth_rt + ShiftDot2x2 chain below
+            x = MergedDownsample(c2, dtype=cfg.compute_dtype,
+                                 param_dtype=cfg.param_dtype,
+                                 name="stage1_conv")(x, train)
+        elif cfg.stage1_s2d:
             # blocked downsample (deploy graphs): reshape-transpose s2d
             # of the bf16 C=32 stem output + one contraction-128 matmul —
             # 2.7x the lax.conv lowering (tools/stage1_probe.py; weights

@@ -83,6 +83,48 @@ class ShiftDot2x2(nn.Module):
         return y.reshape(*lead, h, w, self.features).astype(self.dtype)
 
 
+class _MergedShiftDotConv(nn.Module):
+    """Param holder for the fused merged-layout downsample: the kernel
+    stays in the BLOCKED (2,2,4C,O) layout ``fold_downsample_space_to_
+    depth`` produces (loads unchanged); the kw-packing the kernel wants
+    is a pure weight transpose done at trace time (constant-folded in
+    weights-baked artifacts)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas.stage1_kernel import fused_downsample_merged
+
+        cm = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, 2 * cm, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        return fused_downsample_merged(x.astype(self.dtype), kernel, bias)
+
+
+class MergedDownsample(nn.Module):
+    """stage1_conv in the s2d_merged engine: consumes the column-merged
+    stem output, emits the standard (H/2, W2, O) layout; conv + bias +
+    ReLU fused in one VMEM pass (``ops/pallas/stage1_kernel.py``).
+    Deploy-graph only; the layer is quant-excluded (DEFAULT_EXCLUDE), so
+    this composes with the int8 engine unchanged."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # ReLU lives inside the fused kernel's epilogue
+        return _MergedShiftDotConv(self.features, dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv")(x)
+
+
 class ConvBlock(nn.Module):
     """Conv(no-bias) + BatchNorm + ReLU (reference model.py:23-50).
 

@@ -68,6 +68,15 @@ class ModelConfig:
     # quant.deploy.fold_downsample_space_to_depth. stage1_conv is
     # quant-excluded (DEFAULT_EXCLUDE), so this composes with int8.
     stage1_s2d: bool = False
+    # column-MERGED engine (deploy graphs; implies stem_s2d + s2d_host +
+    # stage1_s2d): the graph input is the SAME host bytes viewed as
+    # (S/2, S/4, 24) — adjacent column pairs merged into lanes — the stem
+    # matmul emits its output directly in that merged layout
+    # (quant.deploy.merge_stem_columns), and stage1 runs as ONE fused
+    # Pallas pass (s2d shuffle + shift-dot + bias + ReLU in VMEM,
+    # ops/pallas/stage1_kernel.py) instead of five HBM passes. Probed
+    # 0.036 vs 0.082 ms isolated (tools/stage1_pallas_probe.py).
+    s2d_merged: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

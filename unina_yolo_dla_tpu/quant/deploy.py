@@ -143,6 +143,59 @@ def _fold_layer_space_to_depth(deploy_variables: dict[str, Any],
     return out
 
 
+def merge_stem_columns(deploy_variables: dict[str, Any]) -> dict[str, Any]:
+    """s2d-stem deploy variables -> column-MERGED stem variables
+    (``ModelConfig(s2d_merged=True)``).
+
+    The merged engine's stem consumes the SAME host bytes as the s2d_host
+    stem, viewed as (S/2, S/4, 24) — adjacent column pairs merged into
+    lanes (a byte-identical row-major reshape) — and emits the stem output
+    directly in that merged layout, ``ym[h, w2] = [y[h,2w2]; y[h,2w2+1]]``,
+    which the fused stage1 kernel (``ops.pallas.stage1_kernel``) consumes
+    with zero retile. Derivation: with ``xbm[i,j] = [xb[i,2j]; xb[i,2j+1]]``
+    the two interleaved outputs are 2x2 stride-1 convs over ``xbm`` whose
+    taps read xb columns {2w2-1, 2w2} (left output) and {2w2, 2w2+1}
+    (right), so the merged kernel (2,2,2C,2O) places the original
+    (2,2,C,O) taps as
+
+        Wm[kh, 0, C:2C, :O]  = W[kh, 0]     Wm[kh, 1, 0:C, :O]  = W[kh, 1]
+        Wm[kh, 1, 0:C, O:]   = W[kh, 0]     Wm[kh, 1, C:2C, O:] = W[kh, 1]
+
+    (rest zero), with the same ((1,0),(1,0)) padding: the left pad covers
+    xb column -1 exactly as before, and xb column -2 only ever meets zero
+    weights. Bias tiles 2x. Numerically identical multiplies/adds —
+    2x nominal MACs against zeros, irrelevant for a bandwidth-bound stem
+    (measured in ``tools/merged_engine_probe.py``).
+    """
+    params = deploy_variables["params"]
+    conv = params.get("backbone", {}).get("stem", {}).get("conv")
+    if conv is None or "kernel" not in conv or "bias" not in conv:
+        raise ValueError("no backbone/stem/conv kernel+bias in deploy "
+                         "variables — run fold_stem_space_to_depth first")
+    k = np.asarray(conv["kernel"], np.float32)
+    if k.ndim != 4 or k.shape[:2] != (2, 2):
+        raise ValueError(f"stem kernel is {k.shape}, expected (2,2,C,O) "
+                         "s2d-folded — run fold_stem_space_to_depth first")
+    C, O = k.shape[2], k.shape[3]
+    km = np.zeros((2, 2, 2 * C, 2 * O), np.float32)
+    km[:, 0, C:2 * C, :O] = k[:, 0]
+    km[:, 1, 0:C, :O] = k[:, 1]
+    km[:, 1, 0:C, O:] = k[:, 0]
+    km[:, 1, C:2 * C, O:] = k[:, 1]
+    bias = np.asarray(conv["bias"], np.float32)
+
+    out = {kk: vv for kk, vv in deploy_variables.items()}
+    new_params = dict(params)
+    new_backbone = dict(params["backbone"])
+    new_conv = dict(conv)
+    new_conv["kernel"] = km
+    new_conv["bias"] = np.concatenate([bias, bias])
+    new_backbone["stem"] = {"conv": new_conv}
+    new_params["backbone"] = new_backbone
+    out["params"] = new_params
+    return out
+
+
 def quantize_weights_int8(
     deploy_variables: dict[str, Any],
     spec,

@@ -157,18 +157,24 @@ def export_serving_artifact(
             "bgra": (cam_h, cam_w, 4),
             "nv12": (cam_h * 3 // 2, cam_w),
         }[cam_fmt]
-    elif batch is not None:
+    # host-blocked input contracts: s2d (S/2,S/2,12), or the byte-identical
+    # column-MERGED view (S/2,S/4,24) for the fused-stage1 engine
+    if getattr(cfg, "s2d_merged", False):
+        blocked_shape = (cfg.input_size // 2, cfg.input_size // 4, 24)
+    elif cfg.s2d_host:
+        blocked_shape = (cfg.input_size // 2, cfg.input_size // 2, 12)
+    else:
+        blocked_shape = None
+    if batch is not None:
         serve = build_batch_serving_fn(model, cfg, conf_threshold,
                                        iou_threshold, q_factor,
                                        max_detections)
-        frame_shape = ((batch, cfg.input_size // 2, cfg.input_size // 2, 12)
-                       if cfg.s2d_host
+        frame_shape = ((batch, *blocked_shape) if blocked_shape
                        else (batch, cfg.input_size, cfg.input_size, 3))
-    else:
+    elif camera is None:
         serve = build_serving_fn(model, cfg, conf_threshold, iou_threshold,
                                  q_factor, max_detections)
-        frame_shape = ((cfg.input_size // 2, cfg.input_size // 2, 12)
-                       if cfg.s2d_host
+        frame_shape = (blocked_shape if blocked_shape
                        else (cfg.input_size, cfg.input_size, 3))
 
     v = {k: variables[k] for k in ("params", "batch_stats", "quant")
@@ -234,7 +240,8 @@ def export_serving_artifact(
     (output_dir / "compile_options.pb").write_bytes(
         _xc.CompileOptions().SerializeAsString())
     write_pjrt_conf(output_dir, max_detections=max_detections,
-                    camera=camera, batch=batch, s2d_host=cfg.s2d_host)
+                    camera=camera, batch=batch, s2d_host=cfg.s2d_host,
+                    s2d_merged=getattr(cfg, "s2d_merged", False))
     (output_dir / "config.json").write_text(json.dumps({
         "num_classes": cfg.num_classes,
         "base_channels": cfg.base_channels,
@@ -243,6 +250,7 @@ def export_serving_artifact(
         "stem_s2d": cfg.stem_s2d,
         "s2d_host": cfg.s2d_host,
         "stage1_s2d": cfg.stage1_s2d,
+        "s2d_merged": getattr(cfg, "s2d_merged", False),
         "quantized": "quant" in v,
         "conf_threshold": conf_threshold,
         "iou_threshold": iou_threshold,
@@ -296,6 +304,11 @@ class ServingArtifact:
             from ..ops.preprocess import space_to_depth_np
 
             frame = space_to_depth_np(np.asarray(frame))
+            if self.config.get("s2d_merged"):
+                # fused-stage1 engine: same bytes viewed with adjacent
+                # column pairs merged into lanes (free reshape)
+                *lead, hh, hw, c = frame.shape
+                frame = frame.reshape(*lead, hh, hw // 2, 2 * c)
         return self._call(self.variables, frame)
 
 

@@ -51,6 +51,9 @@ struct PluginConf {
   std::string input_format = "rgb";
   int in_height = 0, in_width = 0;  // 0 -> model input_size square
   bool s2d = false;  // in.layout=s2d: stage frames space-to-depth blocked
+  // in.layout=s2dm: same staged bytes, uploaded as (S/2, S/4, 24) —
+  // adjacent column pairs merged into lanes (fused-stage1 engine)
+  bool s2d_merged = false;
   std::vector<std::pair<std::string, std::string>> str_opts;
   std::vector<std::pair<std::string, int64_t>> i64_opts;
 };
@@ -77,7 +80,8 @@ PluginConf parse_conf(const std::string& path) {
     } else if (key == "in.width") {
       c.in_width = std::atoi(val.c_str());
     } else if (key == "in.layout") {
-      c.s2d = (val == "s2d");
+      c.s2d = (val == "s2d" || val == "s2dm");
+      c.s2d_merged = (val == "s2dm");
     } else if (key.rfind("in.", 0) == 0) {
       // other input-spec keys (e.g. in.batch) are not client options
     } else if (key.rfind("str.", 0) == 0) {
@@ -128,6 +132,7 @@ struct PjrtExecutor::Impl {
   bool camera = false;        // raw upload (no host conversion)
   bool relay_plugin = false;  // network-relay transport (axon tunnel)
   bool s2d = false;           // stage frames space-to-depth blocked
+  bool s2d_merged = false;    // upload the staged bytes as (S/2,S/4,24)
   std::vector<uint8_t> rgb_tmp;  // BGRA/NV12 -> RGB scratch before s2d
   // double-buffered host staging (one per pipeline slot): the frame is
   // converted/copied here at submit so the bytes stay valid until the
@@ -208,6 +213,7 @@ PjrtExecutor::PjrtExecutor(const std::string& artifact_dir, int input_size,
   impl_->input_format = conf.input_format;
   impl_->relay_plugin = conf.library.find("axon") != std::string::npos;
   impl_->s2d = conf.s2d;
+  impl_->s2d_merged = conf.s2d_merged;
   impl_->camera = conf.in_height > 0 && conf.in_width > 0;
   impl_->exp_h = impl_->camera ? conf.in_height : input_size;
   impl_->exp_w = impl_->camera ? conf.in_width : input_size;
@@ -435,9 +441,17 @@ InferStatus PjrtExecutor::submit(const uint8_t* frame, int width, int height,
           std::memcpy(row + q * 12 + 6, r1 + q * 6, 6);   // (1,0),(1,1)
         }
       }
-      dims[0] = hh;
-      dims[1] = hw;
-      dims[2] = 12;
+      if (impl_->s2d_merged) {
+        // merged engine: SAME bytes, column pairs merged into lanes —
+        // a pure dims change, the staging pass above is unchanged
+        dims[0] = hh;
+        dims[1] = hw / 2;
+        dims[2] = 24;
+      } else {
+        dims[0] = hh;
+        dims[1] = hw;
+        dims[2] = 12;
+      }
     } else if (rgb != dst) {
       // channels==3 without s2d: plain copy into the staging slot
       std::memcpy(dst, rgb, nbytes);

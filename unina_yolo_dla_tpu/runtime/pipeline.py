@@ -35,8 +35,12 @@ from ..ops.preprocess import (
 def _normalize_for(cfg: ModelConfig, frames: jnp.ndarray) -> jnp.ndarray:
     """uint8 frames -> normalised f32, layout-aware: s2d_host inputs are
     (S/2, S/2, 12) blocked, so the per-channel constants tile 4x in the
-    same (di, dj, c) order as ``space_to_depth``."""
+    same (di, dj, c) order as ``space_to_depth``; s2d_merged inputs merge
+    adjacent column pairs into lanes on top (S/2, S/4, 24), tiling 8x."""
     x = frames.astype(jnp.float32) / 255.0
+    if getattr(cfg, "s2d_merged", False):
+        return normalize(x, mean=tuple(IMAGENET_MEAN) * 8,
+                         std=tuple(IMAGENET_STD) * 8)
     if getattr(cfg, "s2d_host", False):
         return normalize(x, mean=tuple(IMAGENET_MEAN) * 4,
                          std=tuple(IMAGENET_STD) * 4)

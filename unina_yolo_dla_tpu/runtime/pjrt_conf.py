@@ -65,11 +65,15 @@ def pjrt_plugin_settings() -> tuple[str, dict[str, object]] | None:
 def write_pjrt_conf(artifact_dir: str | Path, max_detections: int,
                     camera: tuple[int, int, str] | None = None,
                     batch: int | None = None,
-                    s2d_host: bool = False) -> None:
+                    s2d_host: bool = False,
+                    s2d_merged: bool = False) -> None:
     """``camera=(h, w, format)`` exports add input-spec keys so the native
     executor uploads raw camera frames (convert+resize runs on-chip).
     ``s2d_host`` exports tell the executor to stage frames space-to-depth
-    blocked (S/2, S/2, 12) — the shuffle fuses into the staging pass."""
+    blocked (S/2, S/2, 12) — the shuffle fuses into the staging pass.
+    ``s2d_merged`` exports stage the SAME bytes but upload them as
+    (S/2, S/4, 24) — adjacent column pairs merged into lanes (the fused-
+    stage1 engine's input contract); zero extra host work."""
     # "in." keys describe the program's input tensor (read by the C++
     # executor); "str."/"i64." keys become PJRT client-create options.
     lines = [f"i64.max_detections={max_detections}"]
@@ -79,7 +83,9 @@ def write_pjrt_conf(artifact_dir: str | Path, max_detections: int,
                   f"in.width={camera[1]}"]
     if batch is not None:
         lines.append(f"in.batch={batch}")
-    if s2d_host:
+    if s2d_merged:
+        lines.append("in.layout=s2dm")
+    elif s2d_host:
         lines.append("in.layout=s2d")
     settings = pjrt_plugin_settings()
     if settings is None:
