@@ -475,6 +475,10 @@ def main() -> None:
         loop_s = make_loop(serve_s, 50)
         with trace("runs/bench_trace_s2d") as _:
             float(loop_s(v_s, f_s))
+        serve_m, v_m, f_m = engines["int8_s2dm"]
+        loop_m = make_loop(serve_m, 50)
+        with trace("runs/bench_trace_s2dm") as _:
+            float(loop_m(v_m, f_m))
         # batch-8 forward trace: the per-op bytes/flops behind the
         # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
         xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))

@@ -155,6 +155,59 @@ def _pick_hb(h2: int) -> int:
     return 1
 
 
+# ---------------------------------------------------------------------
+# Per-platform primitive: ONE multi-platform artifact carries BOTH
+# lowerings — the Pallas kernel on tpu, the identical-math XLA form on
+# cpu. (lax.platform_dependent cannot express this in this JAX version:
+# its cond lowering does not restrict inner primitives to the branch's
+# platforms, so the Pallas branch fails to lower for the cpu target of a
+# multi-platform export. A primitive with platform lowering rules is the
+# mechanism pallas_call itself uses.)
+# ---------------------------------------------------------------------
+import jax.extend as jex  # noqa: E402
+from jax import core as jcore  # noqa: E402
+from jax.interpreters import mlir as jmlir  # noqa: E402
+
+fused_stage1_p = jex.core.Primitive("unina_fused_stage1_merged")
+
+
+@fused_stage1_p.def_abstract_eval
+def _fused_abstract(xm, wp, bias):
+    *lead, h, w2, _cm = xm.shape
+    co = wp.shape[-1] // 2
+    return jcore.ShapedArray((*lead, h // 2, w2, co), xm.dtype)
+
+
+def _apply_leading(fn):
+    """Map an unbatched (H, W2, CM) implementation over any leading dims."""
+
+    def run(xm, wp, bias):
+        f = fn
+        for _ in range(xm.ndim - 3):
+            f = jax.vmap(f, in_axes=(0, None, None))
+        return f(xm, wp, bias)
+
+    return run
+
+
+def _pallas_impl(xm, wp, bias):
+    hb = _pick_hb(xm.shape[-3] // 2)
+    return _apply_leading(
+        functools.partial(_pallas_merged, hb=hb))(xm, wp, bias)
+
+
+def _xla_impl(xm, wp, bias):
+    return _apply_leading(_xla_merged)(xm, wp, bias)
+
+
+fused_stage1_p.def_impl(_xla_impl)
+jmlir.register_lowering(
+    fused_stage1_p, jmlir.lower_fun(_xla_impl, multiple_results=False))
+jmlir.register_lowering(
+    fused_stage1_p, jmlir.lower_fun(_pallas_impl, multiple_results=False),
+    platform="tpu")
+
+
 def fused_downsample_merged(xm: jnp.ndarray, wb: jnp.ndarray,
                             bias: jnp.ndarray,
                             use_pallas: bool | None = None,
@@ -168,24 +221,24 @@ def fused_downsample_merged(xm: jnp.ndarray, wb: jnp.ndarray,
         wb: (2, 2, 4C, O) blocked kernel
             (``quant.deploy.fold_downsample_space_to_depth`` layout).
         bias: (O,) folded conv bias.
-        use_pallas: force the kernel on/off; None picks by backend
-            (Pallas on TPU, the identical-math XLA form elsewhere).
+        use_pallas: force the kernel on/off; None binds the per-platform
+            primitive ``fused_stage1_p`` — the Pallas kernel on the tpu
+            lowering, the identical-math XLA form elsewhere — so one
+            trace serves multi-platform (cpu,tpu) artifacts.
         interpret: run the Pallas kernel in interpret mode (CPU testing).
 
     Returns (..., H/2, W2, O) in ``xm.dtype``.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     wp = pack_stage1_weights(wb.astype(xm.dtype))
+    if use_pallas is None:
+        return fused_stage1_p.bind(xm, wp, bias)
     if use_pallas:
         h2 = xm.shape[-3] // 2
         fn = functools.partial(_pallas_merged, hb=_pick_hb(h2),
                                interpret=interpret)
     else:
         fn = _xla_merged
-    for _ in range(xm.ndim - 3):
-        fn = jax.vmap(fn, in_axes=(0, None, None))
-    return fn(xm, wp, bias)
+    return _apply_leading(fn)(xm, wp, bias)
 
 
 def merged_from_standard(x: np.ndarray | jnp.ndarray):
