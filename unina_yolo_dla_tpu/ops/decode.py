@@ -139,9 +139,21 @@ def decode_outputs(
         # restores the sort-based path.
         top_scores, top_idx = jax.lax.approx_max_k(
             masked, k, recall_target=0.99)
+    # ONE row gather instead of four field gathers: TPU gathers are
+    # latency-bound (~3 GB/s on the r3 trace, 2.9% of device time over
+    # four of them), so pack the fields into 28 B rows, gather once, and
+    # slice the columns back out. Class indices and the valid bit
+    # round-trip f32 exactly (values < 2^24).
+    packed = jnp.concatenate([
+        boxes,
+        scores[:, None],
+        classes.astype(jnp.float32)[:, None],
+        valid.astype(jnp.float32)[:, None],
+    ], axis=1)
+    rows = packed[top_idx]
     return Detections(
-        boxes=boxes[top_idx],
-        scores=scores[top_idx],
-        classes=classes[top_idx],
-        valid=valid[top_idx] & (top_scores > -0.5),
+        boxes=rows[:, :4],
+        scores=rows[:, 4],
+        classes=rows[:, 5].astype(jnp.int32),
+        valid=(rows[:, 6] > 0.5) & (top_scores > -0.5),
     )
