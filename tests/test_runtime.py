@@ -178,3 +178,51 @@ def test_s2d_host_artifact_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(g[0]), np.asarray(want[0]),
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(g[3]), np.asarray(want[3]))
+
+
+def test_s2d_merged_artifact_roundtrip(tmp_path):
+    """`export --s2d-merged` artifact: consumes column-merged
+    (S/2,S/4,24) frames — the SAME bytes as the s2d_host contract;
+    ServingArtifact transparently blocks+merges a standard (S,S,3) RGB
+    frame; detections match the standard artifact's (the merged stem +
+    fused stage1 are the same math — RESULTS.md round 3)."""
+    import dataclasses
+
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_downsample_space_to_depth,
+        fold_stem_space_to_depth,
+        merge_stem_columns,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    folded = fold_batchnorm(variables)
+
+    dep = dataclasses.replace(cfg, deploy=True)
+    std_out = tmp_path / "std"
+    export_serving_artifact(UninaYoloDla(dep), folded, std_out,
+                            max_detections=64)
+
+    merged = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                                 s2d_host=True, stage1_s2d=True,
+                                 s2d_merged=True)
+    m_vars = merge_stem_columns(fold_downsample_space_to_depth(
+        fold_stem_space_to_depth(folded)))
+    m_out = tmp_path / "s2dm"
+    export_serving_artifact(UninaYoloDla(merged), m_vars, m_out,
+                            max_detections=64)
+
+    mcfg = json.loads((m_out / "config.json").read_text())
+    assert mcfg["s2d_merged"] is True
+    assert "in.layout=s2dm" in (m_out / "pjrt_plugin.conf").read_text()
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+    want = jax.device_get(ServingArtifact(std_out)(jnp.asarray(frame)))
+    got = jax.device_get(ServingArtifact(m_out)(jnp.asarray(frame)))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
