@@ -226,3 +226,53 @@ def test_s2d_merged_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
+
+
+def test_s2d_merged_batch_serving(tmp_path):
+    """The merged engine composes with multi-stream serving: the batch
+    graph consumes (B, S/2, S/4, 24) merged frames through the same
+    fused-stage1 primitive (leading dims handled inside the primitive —
+    the b8-regime A/B depends on this path)."""
+    import dataclasses
+
+    from unina_yolo_dla_tpu.models.detector import UninaYoloDla
+    from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
+    from unina_yolo_dla_tpu.quant.deploy import (
+        fold_batchnorm,
+        fold_downsample_space_to_depth,
+        fold_stem_space_to_depth,
+        merge_stem_columns,
+    )
+    from unina_yolo_dla_tpu.runtime.pipeline import (
+        build_batch_serving_fn,
+        build_serving_fn,
+    )
+
+    cfg = ModelConfig(num_classes=4, base_channels=16, input_size=IMG,
+                      compute_dtype=jnp.float32)
+    _, variables = init_model(jax.random.key(0), cfg)
+    merged = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
+                                 s2d_host=True, stage1_s2d=True,
+                                 s2d_merged=True)
+    m_vars = merge_stem_columns(fold_downsample_space_to_depth(
+        fold_stem_space_to_depth(fold_batchnorm(variables))))
+    model = UninaYoloDla(merged)
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (3, IMG, IMG, 3), dtype=np.uint8)
+    fb = space_to_depth_np(frames)
+    fm = fb.reshape(3, IMG // 2, IMG // 4, 24)
+
+    batch_serve = jax.jit(build_batch_serving_fn(model, merged,
+                                                 max_detections=64))
+    d_batch = batch_serve(m_vars, jnp.asarray(fm))
+    assert d_batch.boxes.shape == (3, 64, 4)
+
+    single = jax.jit(build_serving_fn(model, merged, max_detections=64))
+    for b in range(3):
+        d1 = single(m_vars, jnp.asarray(fm[b]))
+        np.testing.assert_array_equal(np.asarray(d1.valid),
+                                      np.asarray(d_batch.valid[b]))
+        np.testing.assert_allclose(np.asarray(d1.boxes),
+                                   np.asarray(d_batch.boxes[b]),
+                                   rtol=1e-3, atol=0.5)
