@@ -9,6 +9,12 @@ lanes exactly, input blocks need NO halo (stride == block), and the
 Round-2 lesson applies (Pallas kernels lost to XLA fusion for compute
 ops); this one is a pure copy kernel, where the competition is a bad
 relayout, not a fused epilogue.
+
+OUTCOME (measured, v5e): the reorder kernel LOSES — 0.062 ms vs the XLA
+6D transpose's 0.019 ms in isolation. A hand-written pure-movement
+kernel cannot beat the compiler's copy; the win only appears when the
+movement is fused INTO the consuming dot (ops/pallas/stage1_kernel.py:
+0.036 ms for shuffle+conv+bias+relu together). Kept as the record.
 """
 import sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
