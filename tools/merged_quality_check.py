@@ -45,12 +45,20 @@ COLS = ("map50", "map50_95", "small_object_precision",
 def main():
     spec = load_dataset_yaml("runs/xhard_data/fsd_synth.yaml")
     val_ds = YoloDataset(spec["val"], img_size=640, max_boxes=60)
+    # optional image cap for CPU runs (full 200-image eval x2 engines is
+    # ~1 h on this 1-CPU box): same images for both engines either way
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(val_ds)
+    n_batches = max(1, limit // 8)
     cfg = ModelConfig(num_classes=spec["nc"], base_channels=32,
                       input_size=640)
 
     def batches():
-        return batch_iterator(val_ds, 8, np.random.default_rng(0),
-                              shuffle=False, augment=False)
+        it = batch_iterator(val_ds, 8, np.random.default_rng(0),
+                            shuffle=False, augment=False)
+        for i, b in enumerate(it):
+            if i >= n_batches:
+                break
+            yield b
 
     variables = load_msgpack_raw("artifacts/engine_source.msgpack")
     qspec = QuantSpec(mode="int8_fused", exclude=PERF_EXCLUDE)
@@ -93,8 +101,13 @@ def main():
     }
     evars = {"int8_s2dh": s2dh_vars, "int8_s2dm": s2dm_vars}
 
+    # optional engine filter (argv[2], substring) so an interrupted run
+    # can resume with just the missing engine
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
     results = {}
     for name, model in engines.items():
+        if only and only not in name:
+            continue
         m = evaluate_model(model, evars[name], batches, conf_threshold=0.25)
         results[name] = {k: round(float(m.get(k, float("nan"))), 5)
                          for k in COLS}
