@@ -392,6 +392,17 @@ def main() -> None:
     fs = np.asarray(frame_s2d)
     frame_s2dm = jnp.asarray(fs.reshape(fs.shape[0], fs.shape[1] // 2, 24))
 
+    # fully-FUSED merged engines (_fc): every float-path C3k2 as ONE
+    # VMEM pass (ops/pallas/c3k2_kernel.py; the FPN fusions fold their
+    # upsample + concat in too) AND the decoupled heads fused
+    # (ops/pallas/head_kernel.py). In the int8 engine that is exactly
+    # the PERF_EXCLUDE/DEFAULT_EXCLUDE bf16 subgraphs: stage1_block,
+    # fpn_c3k2_2 and head_p2 — together ~29% of r3 device time.
+    s2dm_fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True,
+                                      fused_head=True)
+    s2dm_fc_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_c3k2=True,
+                                           fused_head=True)
+
     engines = {
         "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars,
                         frame),
@@ -405,10 +416,19 @@ def main() -> None:
                       s2dh_int8_vars, frame_s2d),
         "int8_s2dm": (build_serving_fn(s2dm_int8_model, s2dm_int8_cfg),
                       s2dm_int8_vars, frame_s2dm),
-        "pallas_bf16": (build_serving_fn(bf16_model, cfg,
-                                         use_pallas_kernels=True),
-                        bf16_vars, frame),
+        "int8_s2dm_fc": (build_serving_fn(UninaYoloDla(s2dm_fc_int8_cfg),
+                                          s2dm_fc_int8_cfg),
+                         s2dm_int8_vars, frame_s2dm),
+        "bf16_s2dm_fc": (build_serving_fn(UninaYoloDla(s2dm_fc_cfg),
+                                          s2dm_fc_cfg),
+                         s2dm_bf16_vars, frame_s2dm),
     }
+    if os.environ.get("UNINA_BENCH_PALLAS_OPS"):
+        # retired on evidence (BENCH_r02: 2.79 vs 1.18 ms — the Pallas
+        # decode/NMS variants lose to the XLA-fused ops); keep the
+        # code path drivable without paying ~2 min every driver run
+        engines["pallas_bf16"] = (build_serving_fn(
+            bf16_model, cfg, use_pallas_kernels=True), bf16_vars, frame)
     results, iqrs, rounds = measure_interleaved(engines,
                                                np.random.default_rng(7))
 
@@ -430,6 +450,7 @@ def main() -> None:
     ab_s2d = pair_ab("int8_s2dh", "bf16_s2dh")
     ab_stem = pair_ab("bf16_s2dh", "bf16_folded")
     ab_merged = pair_ab("int8_s2dm", "int8_s2dh")
+    ab_fc = pair_ab("int8_s2dm_fc", "int8_s2dm")
 
     # --- throughput + MFU ---
     fps8 = measure_throughput(bf16_model, bf16_vars, rng)
@@ -479,6 +500,10 @@ def main() -> None:
         loop_m = make_loop(serve_m, 50)
         with trace("runs/bench_trace_s2dm") as _:
             float(loop_m(v_m, f_m))
+        serve_fc, v_fc, f_fc = engines["int8_s2dm_fc"]
+        loop_fc = make_loop(serve_fc, 50)
+        with trace("runs/bench_trace_s2dm_fc") as _:
+            float(loop_fc(v_fc, f_fc))
         # batch-8 forward trace: the per-op bytes/flops behind the
         # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
         xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
@@ -514,6 +539,7 @@ def main() -> None:
                   "int8_vs_bf16_s2dh": ab_s2d,
                   "s2dh_vs_std_stem": ab_stem,
                   "s2dm_vs_s2dh_int8": ab_merged,
+                  "fc_vs_s2dm_int8": ab_fc,
                   "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
                   "batch8_fps": round(fps8, 0),
                   "batch8_artifact": b8,

@@ -25,6 +25,31 @@ pytestmark = pytest.mark.skipif(
     not AXON_SO.exists(), reason="axon PJRT plugin not available")
 
 
+def _relay_alive() -> bool:
+    """Bounded liveness probe: the relay can wedge SERVER-side for long
+    stretches (stale session claims — see .claude/skills/verify/SKILL.md
+    "relay-wedge recovery"), during which every client hangs at claim
+    time, not at connect time. Without this gate each host run below
+    burns its full 540 s subprocess timeout."""
+    env = dict(os.environ,
+               PYTHONPATH="/root/.axon_site",
+               PALLAS_AXON_POOL_IPS="127.0.0.1",
+               JAX_PLATFORMS="axon")  # undo any CPU-bypass in the parent
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=90, env=env)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+@pytest.fixture(scope="module", autouse=True)
+def relay_gate():
+    if AXON_SO.exists() and not _relay_alive():
+        pytest.skip("axon relay unresponsive (wedged) — probe timed out")
+
+
 @pytest.fixture(scope="module")
 def native_build():
     build = NATIVE / "build"

@@ -56,6 +56,14 @@ def main():
     frame_s2d = jnp.asarray(fs)
     frame_s2dm = jnp.asarray(fs.reshape(fs.shape[0], fs.shape[1] // 2, 24))
 
+    # fused-C3k2 variants: the same merged engines with every float-path
+    # C3k2 as one VMEM pass (ops/pallas/c3k2_kernel.py) — in the int8
+    # engine that is exactly the PERF_EXCLUDE 160^2 blocks
+    s2dm_fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True,
+                                      fused_head=True)
+    s2dm_fc_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_c3k2=True,
+                                           fused_head=True)
+
     engines = {
         "bf16_s2dh": (build_serving_fn(UninaYoloDla(s2dh_cfg), s2dh_cfg),
                       s2dh_bf16_vars, frame_s2d),
@@ -67,6 +75,12 @@ def main():
         "int8_s2dm": (build_serving_fn(UninaYoloDla(s2dm_int8_cfg),
                                        s2dm_int8_cfg),
                       merge_stem_columns(s2dh_int8_vars), frame_s2dm),
+        "bf16_s2dm_fc": (build_serving_fn(UninaYoloDla(s2dm_fc_cfg),
+                                          s2dm_fc_cfg),
+                         merge_stem_columns(s2dh_bf16_vars), frame_s2dm),
+        "int8_s2dm_fc": (build_serving_fn(UninaYoloDla(s2dm_fc_int8_cfg),
+                                          s2dm_fc_int8_cfg),
+                         merge_stem_columns(s2dh_int8_vars), frame_s2dm),
     }
     medians, iqrs, rounds = bench.measure_interleaved(
         engines, np.random.default_rng(11))

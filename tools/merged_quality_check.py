@@ -71,6 +71,10 @@ def main():
         fold_stem_space_to_depth(int8_vars))
     s2dm_cfg = dataclasses.replace(s2dh_cfg, s2d_merged=True)
     s2dm_vars = merge_stem_columns(s2dh_vars)
+    # fully-fused engine: + fused C3k2 blocks and fused heads on the
+    # float-path subgraphs (same variables — the param tree is identical)
+    s2dm_fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True,
+                                      fused_head=True)
 
     # the eval path normalizes standard (B,S,S,3) frames before apply;
     # the s2d engines consume blocked/merged inputs. Normalisation is
@@ -98,8 +102,10 @@ def main():
     engines = {
         "int8_s2dh": InputAdapter(UninaYoloDla(s2dh_cfg), "blocked"),
         "int8_s2dm": InputAdapter(UninaYoloDla(s2dm_cfg), "merged"),
+        "int8_s2dm_fc": InputAdapter(UninaYoloDla(s2dm_fc_cfg), "merged"),
     }
-    evars = {"int8_s2dh": s2dh_vars, "int8_s2dm": s2dm_vars}
+    evars = {"int8_s2dh": s2dh_vars, "int8_s2dm": s2dm_vars,
+             "int8_s2dm_fc": s2dm_vars}
 
     # optional engine filter (argv[2], substring) so an interrupted run
     # can resume with just the missing engine

@@ -76,6 +76,16 @@ def main(argv=None) -> None:
                         "matmul, 2.7x the lax.conv lowering "
                         "(tools/stage1_probe.py); no input-contract "
                         "change. Implied by --stem-s2d-host")
+    p.add_argument("--fused-c3k2", action="store_true",
+                   help="run each float-path C3k2 as ONE fused VMEM pass "
+                        "(ops/pallas/c3k2_kernel.py) instead of ~5 HBM "
+                        "round-trips; covers the PERF_EXCLUDE 160^2 "
+                        "blocks in the int8 engine. Implies --fold-bn")
+    p.add_argument("--fused-head", action="store_true",
+                   help="run each float-path decoupled head as ONE fused "
+                        "VMEM pass (ops/pallas/head_kernel.py); head_p2 "
+                        "(always bf16) is ~14%% of r3 device time. "
+                        "Implies --fold-bn")
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
@@ -128,7 +138,7 @@ def main(argv=None) -> None:
     if args.s2d_merged:
         args.stem_s2d_host = True
     if (args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host
-            or args.stage1_s2d):
+            or args.stage1_s2d or args.fused_c3k2 or args.fused_head):
         variables = fold_batchnorm(variables)
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
@@ -155,6 +165,14 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, s2d_merged=True)
         print(">>> stem columns merged: input (S/2,S/4,24), stage1 is "
               "the fused Pallas VMEM pass")
+    if args.fused_c3k2:
+        cfg = dataclasses.replace(cfg, fused_c3k2=True)
+        print(">>> C3k2 blocks fused: one VMEM pass per float-path block "
+              "(Pallas on tpu, identical-math XLA form elsewhere)")
+    if args.fused_head:
+        cfg = dataclasses.replace(cfg, fused_head=True)
+        print(">>> decoupled heads fused: six convs per level in one "
+              "VMEM pass (float-path levels)")
     if args.int8:
         if not args.int8_unfused:
             flat = jax.tree_util.tree_flatten_with_path(

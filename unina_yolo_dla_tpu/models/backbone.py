@@ -27,6 +27,7 @@ class Backbone(nn.Module):
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,
                                   deploy=cfg.deploy)
+        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2)
 
         # Stem: (B,640,640,3) -> (B,320,320,c1)
         if cfg.stem_s2d:
@@ -78,15 +79,15 @@ class Backbone(nn.Module):
         if cfg.lite_p2:
             p2 = ConvBlock(c2, 3, name="stage1_block", **kw)(x, train)
         else:
-            p2 = C3k2(c2, n=1, name="stage1_block", **kw)(x, train)
+            p2 = C3k2(c2, n=1, name="stage1_block", **ckw)(x, train)
 
         # Stage 2 -> P3 (stride 8, 80x80)
         x = ConvBlock(c3, 3, strides=2, name="stage2_conv", **kw)(p2, train)
-        p3 = C3k2(c3, n=2, name="stage2_c3k2", **kw)(x, train)
+        p3 = C3k2(c3, n=2, name="stage2_c3k2", **ckw)(x, train)
 
         # Stage 3 -> P4 (stride 16, 40x40)
         x = ConvBlock(c4, 3, strides=2, name="stage3_conv", **kw)(p3, train)
-        p4 = C3k2(c4, n=2, name="stage3_c3k2", **kw)(x, train)
+        p4 = C3k2(c4, n=2, name="stage3_c3k2", **ckw)(x, train)
 
         # SPPF context on top of P4 (reference model.py:200-201)
         p4_sppf = SPPF(c4, name="sppf", **kw)(p4, train)

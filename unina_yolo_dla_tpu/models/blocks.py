@@ -231,11 +231,60 @@ class Bottleneck(nn.Module):
         return out
 
 
+class _DeployConvParams(nn.Module):
+    """Param twin of a deploy-mode ConvBlock's float path: the same
+    ``kernel``/``bias`` names, shapes, dtypes and initialisers QuantConv
+    declares, so folded checkpoints load into the fused block unchanged."""
+
+    kshape: tuple[int, ...]
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.kshape, jnp.float32)
+        b = self.param("bias", self.bias_init,
+                       (self.kshape[-1],), jnp.float32)
+        return k, b
+
+
+class _DeployConvHolder(nn.Module):
+    """The ConvBlock name level (``<name>/conv/kernel``)."""
+
+    kshape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _DeployConvParams(self.kshape, name="conv")()
+
+
+class _BottleneckParams(nn.Module):
+    """The Bottleneck name level (``bottleneck_i/cv{1,2}/conv/kernel``)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        c1 = _DeployConvHolder((1, 1, self.hidden, self.hidden),
+                               name="cv1")()
+        c2 = _DeployConvHolder((3, 3, self.hidden, self.hidden),
+                               name="cv2")()
+        return c1, c2
+
+
 class C3k2(nn.Module):
     """Cross-Stage-Partial block, split-process-concat form.
 
     Two 1x1 projections to ``features//2``; one path runs ``n`` bottlenecks
     (expansion 1.0), concat, 1x1 out conv (reference model.py:76-110).
+
+    ``fused=True`` (deploy graphs, float path only): the whole block runs
+    as ONE VMEM pass (``ops/pallas/c3k2_kernel.py``) instead of ~5 HBM
+    round-trips — XLA fuses into conv epilogues but never ACROSS convs.
+    The param tree is identical, so folded weights load either way. In the
+    int8 engine this covers exactly the PERF_EXCLUDE C3k2s (the 160^2
+    movement-bound blocks that stay bf16); quantized chains keep the
+    standard per-conv path, whose int8 epilogues XLA already fuses.
     """
 
     features: int
@@ -246,10 +295,47 @@ class C3k2(nn.Module):
     param_dtype: Any = jnp.float32
     quant: QuantSpec | None = None
     deploy: bool = False
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, *,
+                 x2: jnp.ndarray | None = None,
+                 up_x: bool = False) -> jnp.ndarray:
+        """``x2``/``up_x`` express the neck's fusion pattern
+        ``C3k2(concat([upsample2x?(x), x2]))`` INSIDE the block, so the
+        fused kernel can fold the upsample and the concat into its first
+        dots (``fused_c3k2_cat``); the standard path reproduces the
+        original concat/upsample ops exactly — the variable tree is
+        identical either way (upsample/concat carry no params)."""
         hidden = int(self.features * self.expansion)
+        spec = self.quant
+        quant_active = (spec is not None and spec.mode != "off"
+                        and not spec.excluded("/".join(self.scope.path)))
+        if self.fused and self.deploy and not quant_active:
+            from ..ops.pallas.c3k2_kernel import fused_c3k2, fused_c3k2_cat
+
+            deq = lambda t: (t.dequant(self.dtype)  # noqa: E731
+                             if isinstance(t, QTensor)
+                             else t.astype(self.dtype))
+            # int8 -> float boundary, as QuantConv does for excluded
+            # layers consuming a fused-chain tensor
+            x = deq(x)
+            cin = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+            cv1 = _DeployConvHolder((1, 1, cin, hidden), name="cv1")()
+            bns = [_BottleneckParams(hidden, name=f"bottleneck_{i}")()
+                   for i in range(self.n)]
+            cv2 = _DeployConvHolder((1, 1, cin, hidden), name="cv2")()
+            cv3 = _DeployConvHolder((1, 1, 2 * hidden, self.features),
+                                    name="cv3")()
+            if x2 is not None:
+                return fused_c3k2_cat(x, deq(x2), cv1, cv2, cv3, bns,
+                                      shortcut=self.shortcut,
+                                      upsample_a=up_x)
+            return fused_c3k2(x, cv1, cv2, cv3, bns,
+                              shortcut=self.shortcut)
+        if x2 is not None:
+            x = upsample_nearest_2x(x) if up_x else x
+            x = concat_features([x, x2])
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   quant=self.quant, deploy=self.deploy)
         path1 = ConvBlock(hidden, 1, name="cv1", **kw)(x, train)

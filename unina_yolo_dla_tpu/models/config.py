@@ -77,6 +77,20 @@ class ModelConfig:
     # ops/pallas/stage1_kernel.py) instead of five HBM passes. Probed
     # 0.036 vs 0.082 ms isolated (tools/stage1_pallas_probe.py).
     s2d_merged: bool = False
+    # fused C3k2 blocks (deploy graphs): each float-path C3k2 runs as ONE
+    # VMEM pass (ops/pallas/c3k2_kernel.py) instead of ~5 HBM round-trips
+    # — XLA fuses into conv epilogues but never across convs. In the int8
+    # engine this covers exactly the PERF_EXCLUDE 160^2 blocks
+    # (stage1_block 8.2% + fpn_c3k2_2 6.4% of r3 device time, both
+    # movement-bound at ~640 GB/s); quantized C3k2s keep the standard
+    # per-conv int8 chain.
+    fused_c3k2: bool = False
+    # fused decoupled head (deploy graphs): both branches' six convs in
+    # ONE VMEM pass per level (ops/pallas/head_kernel.py). head_p2 —
+    # always-bf16 by the reference's own exclusion list — is ~14% of r3
+    # device time across six dispatch/bandwidth-bound fusions; quantized
+    # head levels (p3/p4 in the int8 engine) keep the standard path.
+    fused_head: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

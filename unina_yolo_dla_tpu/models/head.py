@@ -35,6 +35,32 @@ class DetectionHead(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         cfg = self.config
         hidden = x.shape[-1]
+        spec = cfg.quant
+        quant_active = (spec is not None and spec.mode != "off"
+                        and not spec.excluded("/".join(self.scope.path)))
+        if cfg.fused_head and cfg.deploy and not quant_active:
+            # one-VMEM-pass head (ops/pallas/head_kernel.py): both
+            # branches' six convs in-register, x read once. Identical
+            # param tree (holders mirror ConvBlock/QuantConv layouts).
+            from ..ops.pallas.head_kernel import fused_head
+            from .blocks import _DeployConvHolder, _DeployConvParams
+            from ..quant.qtensor import QTensor
+
+            if isinstance(x, QTensor):
+                x = x.dequant(cfg.compute_dtype)
+            h = x.shape[-1]
+            cls_convs = [_DeployConvHolder((3, 3, h, h), name=n)()
+                         for n in ("cls_conv1", "cls_conv2")]
+            cls_pred = _DeployConvParams(
+                (1, 1, h, cfg.num_classes * cfg.num_anchors),
+                bias_init=nn.initializers.constant(CLS_BIAS_INIT),
+                name="cls_pred")()
+            reg_convs = [_DeployConvHolder((3, 3, h, h), name=n)()
+                         for n in ("reg_conv1", "reg_conv2")]
+            reg_pred = _DeployConvParams((1, 1, h, 4 * cfg.num_anchors),
+                                         name="reg_pred")()
+            return fused_head(x.astype(cfg.compute_dtype), cls_convs,
+                              cls_pred, reg_convs, reg_pred)
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,

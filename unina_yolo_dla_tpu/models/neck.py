@@ -10,7 +10,7 @@ from typing import Any
 
 from flax import linen as nn
 
-from .blocks import C3k2, ConvBlock, concat_features, upsample_nearest_2x
+from .blocks import C3k2, ConvBlock
 from .config import ModelConfig
 
 
@@ -25,27 +25,31 @@ class Neck(nn.Module):
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,
                                   deploy=cfg.deploy)
+        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2)
 
         p2_in, p3_in, p4_in, p4_sppf = features
 
+        # The upsample+concat fusion pattern is expressed THROUGH C3k2
+        # (x2/up_x) so the fused kernel can fold both into its first dots
+        # (ops/pallas/c3k2_kernel.py fused_c3k2_cat); the standard path
+        # reproduces the same upsample/concat ops, identical param tree.
+
         # --- Top-down (FPN) ---
         p4_lat = ConvBlock(c3, 1, name="lateral_p3", **kw)(p4_sppf, train)
-        p4_up = upsample_nearest_2x(p4_lat)  # 40 -> 80
-        p3_fused = C3k2(c3, n=1, name="fpn_c3k2_1", **kw)(
-            concat_features([p4_up, p3_in]), train)
+        p3_fused = C3k2(c3, n=1, name="fpn_c3k2_1", **ckw)(
+            p4_lat, train, x2=p3_in, up_x=True)  # 40 -> 80
 
         p3_lat = ConvBlock(c2, 1, name="lateral_p2", **kw)(p3_fused, train)
-        p3_up = upsample_nearest_2x(p3_lat)  # 80 -> 160
-        p2_fused = C3k2(c2, n=1, name="fpn_c3k2_2", **kw)(
-            concat_features([p3_up, p2_in]), train)
+        p2_fused = C3k2(c2, n=1, name="fpn_c3k2_2", **ckw)(
+            p3_lat, train, x2=p2_in, up_x=True)  # 80 -> 160
 
         # --- Bottom-up (PAN) ---
         p2_down = ConvBlock(c2, 3, strides=2, name="down1", **kw)(p2_fused, train)
-        p3_out = C3k2(c3, n=1, name="pan_c3k2_1", **kw)(
-            concat_features([p2_down, p3_fused]), train)
+        p3_out = C3k2(c3, n=1, name="pan_c3k2_1", **ckw)(
+            p2_down, train, x2=p3_fused)
 
         p3_down = ConvBlock(c3, 3, strides=2, name="down2", **kw)(p3_out, train)
-        p4_out = C3k2(c4, n=1, name="pan_c3k2_2", **kw)(
-            concat_features([p3_down, p4_in]), train)
+        p4_out = C3k2(c4, n=1, name="pan_c3k2_2", **ckw)(
+            p3_down, train, x2=p4_in)
 
         return p2_fused, p3_out, p4_out
