@@ -6,8 +6,8 @@ is why the committed b8 artifact ships the standard stem. The merged
 engine has NO on-device transpose at all (host bytes arrive merged, the
 fused stage1 reads them once in VMEM), so it may reclaim the batched
 regime. Measures forward+decode+NMS per batch through build_batch_
-serving_fn for three engines: std / s2dh / s2dm (int8 variants), slope
-method, interleaved rounds.
+serving_fn for four engines: std / s2dh / s2dm / s2dm_fc (int8
+variants), slope method, interleaved rounds.
 """
 import sys
 import pathlib
@@ -70,6 +70,12 @@ def main():
         fold_stem_space_to_depth(int8_vars))
     s2dm_cfg = dataclasses.replace(s2dh_cfg, s2d_merged=True)
     s2dm_vars = merge_stem_columns(s2dh_vars)
+    # fully-fused variant: the float-path C3k2s/head as one VMEM pass
+    # EACH SAMPLE (the primitive's batch rule vmaps the unbatched kernel)
+    # — at b8 that is 8 sequential VMEM passes vs XLA's batched convs,
+    # so the batched regime needs its own measurement.
+    s2dm_fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True,
+                                      fused_head=True)
 
     engines = {
         "int8_std_b8": (build_batch_serving_fn(int8_model,
@@ -81,6 +87,9 @@ def main():
         "int8_s2dm_b8": (build_batch_serving_fn(UninaYoloDla(s2dm_cfg),
                                                 s2dm_cfg),
                          s2dm_vars, frame_s2dm),
+        "int8_s2dm_fc_b8": (build_batch_serving_fn(
+            UninaYoloDla(s2dm_fc_cfg), s2dm_fc_cfg),
+                            s2dm_vars, frame_s2dm),
     }
 
     loops = {}
