@@ -167,6 +167,105 @@ def _kernel(x_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3, b3, o_ref, *,
                           shortcut=shortcut)
 
 
+# --------------------------------------------------------------------- #
+# Row-gridded forms. The gridless kernel's f32 accumulators at 160^2
+# (cv3's two split dots alone are 2 x 6.5 MB at fpn_c3k2_2) blow the
+# 16 MB scoped-VMEM stack limit Mosaic enforces on real hardware — the
+# r3 on-TPU probe OOM'd exactly there. At H >= 80 the kernel therefore
+# grids over output row-blocks: the (zero-row-padded) input stays VMEM-
+# resident across steps, each step slices a halo window (dynamic start
+# from an SMEM index operand — NOT pl.program_id, which vmap re-binds to
+# the batch axis: the batching rule prepends the batch to the grid) and
+# computes its rows exactly (bit-identical to the gridless form: out-of-
+# image rows are re-masked to zero after every stage so the 3x3s see the
+# same zero padding; the halo gives interior taps their true neighbors).
+# --------------------------------------------------------------------- #
+def _grid_blk(h):
+    """Largest row-block <= 32 that tiles H, or None to stay gridless."""
+    if h < 80:
+        return None
+    for blk in range(32, 7, -1):
+        if h % blk == 0:
+            return blk
+    return None
+
+
+def _idx_spec():
+    return pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+
+
+def _whole_g(a):
+    return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+def _pad_rows(t, n):
+    z = jnp.zeros((n, *t.shape[1:]), t.dtype)
+    return jnp.concatenate([z, t, z], axis=0)
+
+
+def _mask_rows(t, valid):
+    return jnp.where(valid, t, jnp.zeros_like(t))
+
+
+def _row_mask(row0, rows, h_img):
+    idx = row0 + lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    return (idx >= 0) & (idx < h_img)
+
+
+def _post_win(p1, p2c, wb1, bb1, wb2, bb2, w3, b3, *, shortcut, halo,
+              valid):
+    """Bottleneck chain + cv3 on a halo window: p1 is (blk + 2*halo, W,
+    h) with out-of-image rows zeroed, p2c the (blk, W, h) center rows.
+    Re-masks after every stage so window zero padding == image zero
+    padding; the center blk rows come out bit-identical to the gridless
+    form (halo >= n shifted-slice convs)."""
+    n = wb1.shape[0]
+    for i in range(n):
+        t = _mask_rows(_dot1x1(p1, wb1[i], bb1[i]), valid)
+        t = _conv3x3(t, wb2[i], bb2[i])
+        p1 = _mask_rows(p1 + t if shortcut else t, valid)
+    blk = p2c.shape[0]
+    h = p1.shape[-1]
+    p1c = p1[halo:halo + blk]
+    z = (lax.dot_general(p1c, w3[:h], (((2,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+         + lax.dot_general(p2c, w3[h:], (((2,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32))
+    b3 = b3.reshape(1, 1, -1).astype(jnp.float32)
+    return jnp.maximum(z + b3, 0.0).astype(p1.dtype)
+
+
+def _kernel_grid(ids_ref, x_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3,
+                 b3, o_ref, *, shortcut, blk, halo, h_img):
+    i = ids_ref[0]
+    xw = x_ref[pl.ds(i * blk, blk + 2 * halo)]   # from the row-padded x
+    valid = _row_mask(i * blk - halo, blk + 2 * halo, h_img)
+    p1 = _mask_rows(_dot1x1(xw, w1[:], b1[:]), valid)
+    p2 = _dot1x1(xw[halo:halo + blk], w2[:], b2[:])
+    o_ref[:] = _post_win(p1, p2, wb1[:], bb1[:], wb2[:], bb2[:], w3[:],
+                         b3[:], shortcut=shortcut, halo=halo, valid=valid)
+
+
+def _kernel_cat_grid(ids_ref, xa_ref, xb_ref, w1, b1, wb1, bb1, wb2, bb2,
+                     w2, b2, w3, b3, o_ref, *, shortcut, up_a, blk, halo,
+                     h_img):
+    i = ids_ref[0]
+    if up_a:  # halo is even; xa is row-padded by halo//2 at coarse res
+        xaw = xa_ref[pl.ds(i * (blk // 2), blk // 2 + halo)]
+        xac = xaw[halo // 2:halo // 2 + blk // 2]
+    else:
+        xaw = xa_ref[pl.ds(i * blk, blk + 2 * halo)]
+        xac = xaw[halo:halo + blk]
+    xbw = xb_ref[pl.ds(i * blk, blk + 2 * halo)]
+    valid = _row_mask(i * blk - halo, blk + 2 * halo, h_img)
+    p1 = _mask_rows(
+        _dot1x1_pair(xaw, xbw, w1[:], b1[:], up_a), valid)
+    p2 = _dot1x1_pair(xac, xbw[halo:halo + blk], w2[:], b2[:], up_a)
+    o_ref[:] = _post_win(p1, p2, wb1[:], bb1[:], wb2[:], bb2[:], w3[:],
+                         b3[:], shortcut=shortcut, halo=halo, valid=valid)
+
+
 def _kernel_cat(xa_ref, xb_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3, b3,
                 o_ref, *, shortcut, up_a):
     o_ref[:] = _c3k2_cat_math(
@@ -182,29 +281,66 @@ def _whole(a):
 def _pallas_c3k2(x, *ws, shortcut, interpret=False):
     h, w, _ = x.shape
     f = ws[-1].shape[-1]
-    kern = functools.partial(_kernel, shortcut=shortcut)
+    blk = _grid_blk(h)
+    if blk is None:
+        kern = functools.partial(_kernel, shortcut=shortcut)
+        return pl.pallas_call(
+            kern,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((h, w, f), x.dtype),
+            in_specs=[_whole(x)] + [_whole(a) for a in ws],
+            out_specs=pl.BlockSpec((h, w, f), lambda: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x, *ws)
+    n = ws[2].shape[0]  # wb1 (n, h, h): one 3x3 per bottleneck
+    halo = n
+    x_pad = _pad_rows(x, halo)
+    ids = jnp.arange(h // blk, dtype=jnp.int32)
+    kern = functools.partial(_kernel_grid, shortcut=shortcut, blk=blk,
+                             halo=halo, h_img=h)
     return pl.pallas_call(
         kern,
         interpret=interpret,
+        grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, f), x.dtype),
-        in_specs=[_whole(x)] + [_whole(a) for a in ws],
-        out_specs=pl.BlockSpec((h, w, f), lambda: (0, 0, 0),
+        in_specs=[_idx_spec(), _whole_g(x_pad)]
+                 + [_whole_g(a) for a in ws],
+        out_specs=pl.BlockSpec((blk, w, f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(x, *ws)
+    )(ids, x_pad, *ws)
 
 
 def _pallas_c3k2_cat(xa, xb, *ws, shortcut, up_a, interpret=False):
     h, w, _ = xb.shape
     f = ws[-1].shape[-1]
-    kern = functools.partial(_kernel_cat, shortcut=shortcut, up_a=up_a)
+    blk = _grid_blk(h)
+    if blk is None or (up_a and blk % 2):
+        kern = functools.partial(_kernel_cat, shortcut=shortcut, up_a=up_a)
+        return pl.pallas_call(
+            kern,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((h, w, f), xb.dtype),
+            in_specs=[_whole(xa), _whole(xb)] + [_whole(a) for a in ws],
+            out_specs=pl.BlockSpec((h, w, f), lambda: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(xa, xb, *ws)
+    n = ws[2].shape[0]
+    halo = n + (n % 2) if up_a else n  # even halo keeps up2 row-aligned
+    xa_pad = _pad_rows(xa, halo // 2 if up_a else halo)
+    xb_pad = _pad_rows(xb, halo)
+    ids = jnp.arange(h // blk, dtype=jnp.int32)
+    kern = functools.partial(_kernel_cat_grid, shortcut=shortcut,
+                             up_a=up_a, blk=blk, halo=halo, h_img=h)
     return pl.pallas_call(
         kern,
         interpret=interpret,
+        grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, f), xb.dtype),
-        in_specs=[_whole(xa), _whole(xb)] + [_whole(a) for a in ws],
-        out_specs=pl.BlockSpec((h, w, f), lambda: (0, 0, 0),
+        in_specs=[_idx_spec(), _whole_g(xa_pad), _whole_g(xb_pad)]
+                 + [_whole_g(a) for a in ws],
+        out_specs=pl.BlockSpec((blk, w, f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(xa, xb, *ws)
+    )(ids, xa_pad, xb_pad, *ws)
 
 
 def _xla_c3k2(x, *ws, shortcut):

@@ -41,7 +41,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .c3k2_kernel import _conv3x3  # shared shift-dot 3x3 (relu fused)
+from .c3k2_kernel import (  # shared shift-dot 3x3 + row-grid helpers
+    _conv3x3,
+    _grid_blk,
+    _idx_spec,
+    _pad_rows,
+    _whole_g,
+)
 
 __all__ = ["fused_head", "fused_head_p"]
 
@@ -69,6 +75,23 @@ def _kernel(x_ref, *refs):
     o_ref[:] = _head_math(x_ref[:], *(r[:] for r in w_refs))
 
 
+def _kernel_grid(ids_ref, x_ref, *refs, blk):
+    """Row-gridded form (see c3k2_kernel for why): the six convs' f32
+    accumulators at 160^2 (~50 MB) blow the 16 MB scoped-VMEM stack, so
+    each grid step computes blk output rows from a halo-4 window of the
+    2-row-zero-padded resident input. The window's zero rows ARE the
+    conv's same-pad zeros at image edges; interior contamination from
+    the window-edge padding never reaches the kept center rows (two
+    chained 3x3s consume exactly the 2-row halo). Index arrives as an
+    SMEM operand, not pl.program_id (vmap prepends the batch grid dim).
+    """
+    *w_refs, o_ref = refs
+    i = ids_ref[0]
+    xw = x_ref[pl.ds(i * blk, blk + 4)]
+    out = _head_math(xw, *(r[:] for r in w_refs))
+    o_ref[:] = out[2:blk + 2]
+
+
 def _whole(a):
     return pl.BlockSpec(a.shape, lambda: (0,) * a.ndim,
                         memory_space=pltpu.VMEM)
@@ -77,14 +100,28 @@ def _whole(a):
 def _pallas_head(x, *ws, interpret=False):
     h, w, _ = x.shape
     co = ws[4].shape[-1] + ws[10].shape[-1]  # wcp cols + wrp cols
+    blk = _grid_blk(h)
+    if blk is None:
+        return pl.pallas_call(
+            _kernel,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((h, w, co), jnp.float32),
+            in_specs=[_whole(x)] + [_whole(a) for a in ws],
+            out_specs=pl.BlockSpec((h, w, co), lambda: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(x, *ws)
+    x_pad = _pad_rows(x, 2)
+    ids = jnp.arange(h // blk, dtype=jnp.int32)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel_grid, blk=blk),
         interpret=interpret,
+        grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, co), jnp.float32),
-        in_specs=[_whole(x)] + [_whole(a) for a in ws],
-        out_specs=pl.BlockSpec((h, w, co), lambda: (0, 0, 0),
+        in_specs=[_idx_spec(), _whole_g(x_pad)]
+                 + [_whole_g(a) for a in ws],
+        out_specs=pl.BlockSpec((blk, w, co), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(x, *ws)
+    )(ids, x_pad, *ws)
 
 
 def _xla_head(x, *ws):
