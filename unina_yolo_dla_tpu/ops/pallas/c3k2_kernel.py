@@ -190,8 +190,25 @@ def _grid_blk(h):
     return None
 
 
-def _idx_spec():
-    return pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+def _unroll_leading(fn, n_batched=1):
+    """Apply ``fn`` (a pallas_call wrapper whose first ``n_batched``
+    operands carry leading batch dims) over those dims by STATIC UNROLL,
+    never vmap: the pallas batching rule prepends the batch axis to the
+    grid, which re-binds pl.program_id(0) — the row-block index inside
+    the gridded kernels — to the batch index. The TPU grid is sequential
+    anyway, so unrolled per-sample calls cost the same device time. (The
+    XLA forms keep vmap — no grid to corrupt.)"""
+    def run(*args, **kw):
+        xs, ws = args[:n_batched], args[n_batched:]
+        lead = xs[0].shape[:-3]
+        if not lead:
+            return fn(*xs, *ws, **kw)
+        flat = [a.reshape(-1, *a.shape[-3:]) for a in xs]
+        outs = [fn(*(f[i] for f in flat), *ws, **kw)
+                for i in range(flat[0].shape[0])]
+        return jnp.stack(outs).reshape(*lead, *outs[0].shape)
+
+    return run
 
 
 def _whole_g(a):
@@ -236,9 +253,9 @@ def _post_win(p1, p2c, wb1, bb1, wb2, bb2, w3, b3, *, shortcut, halo,
     return jnp.maximum(z + b3, 0.0).astype(p1.dtype)
 
 
-def _kernel_grid(ids_ref, x_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3,
+def _kernel_grid(x_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3,
                  b3, o_ref, *, shortcut, blk, halo, h_img):
-    i = ids_ref[0]
+    i = pl.program_id(0)  # safe: the Pallas forms are never vmapped
     xw = x_ref[pl.ds(i * blk, blk + 2 * halo)]   # from the row-padded x
     valid = _row_mask(i * blk - halo, blk + 2 * halo, h_img)
     p1 = _mask_rows(_dot1x1(xw, w1[:], b1[:]), valid)
@@ -247,10 +264,10 @@ def _kernel_grid(ids_ref, x_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3,
                          b3[:], shortcut=shortcut, halo=halo, valid=valid)
 
 
-def _kernel_cat_grid(ids_ref, xa_ref, xb_ref, w1, b1, wb1, bb1, wb2, bb2,
+def _kernel_cat_grid(xa_ref, xb_ref, w1, b1, wb1, bb1, wb2, bb2,
                      w2, b2, w3, b3, o_ref, *, shortcut, up_a, blk, halo,
                      h_img):
-    i = ids_ref[0]
+    i = pl.program_id(0)  # safe: the Pallas forms are never vmapped
     if up_a:  # halo is even; xa is row-padded by halo//2 at coarse res
         xaw = xa_ref[pl.ds(i * (blk // 2), blk // 2 + halo)]
         xac = xaw[halo // 2:halo // 2 + blk // 2]
@@ -295,7 +312,6 @@ def _pallas_c3k2(x, *ws, shortcut, interpret=False):
     n = ws[2].shape[0]  # wb1 (n, h, h): one 3x3 per bottleneck
     halo = n
     x_pad = _pad_rows(x, halo)
-    ids = jnp.arange(h // blk, dtype=jnp.int32)
     kern = functools.partial(_kernel_grid, shortcut=shortcut, blk=blk,
                              halo=halo, h_img=h)
     return pl.pallas_call(
@@ -303,11 +319,10 @@ def _pallas_c3k2(x, *ws, shortcut, interpret=False):
         interpret=interpret,
         grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, f), x.dtype),
-        in_specs=[_idx_spec(), _whole_g(x_pad)]
-                 + [_whole_g(a) for a in ws],
+        in_specs=[_whole_g(x_pad)] + [_whole_g(a) for a in ws],
         out_specs=pl.BlockSpec((blk, w, f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(ids, x_pad, *ws)
+    )(x_pad, *ws)
 
 
 def _pallas_c3k2_cat(xa, xb, *ws, shortcut, up_a, interpret=False):
@@ -328,7 +343,6 @@ def _pallas_c3k2_cat(xa, xb, *ws, shortcut, up_a, interpret=False):
     halo = n + (n % 2) if up_a else n  # even halo keeps up2 row-aligned
     xa_pad = _pad_rows(xa, halo // 2 if up_a else halo)
     xb_pad = _pad_rows(xb, halo)
-    ids = jnp.arange(h // blk, dtype=jnp.int32)
     kern = functools.partial(_kernel_cat_grid, shortcut=shortcut,
                              up_a=up_a, blk=blk, halo=halo, h_img=h)
     return pl.pallas_call(
@@ -336,11 +350,11 @@ def _pallas_c3k2_cat(xa, xb, *ws, shortcut, up_a, interpret=False):
         interpret=interpret,
         grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, f), xb.dtype),
-        in_specs=[_idx_spec(), _whole_g(xa_pad), _whole_g(xb_pad)]
+        in_specs=[_whole_g(xa_pad), _whole_g(xb_pad)]
                  + [_whole_g(a) for a in ws],
         out_specs=pl.BlockSpec((blk, w, f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(ids, xa_pad, xb_pad, *ws)
+    )(xa_pad, xb_pad, *ws)
 
 
 def _xla_c3k2(x, *ws, shortcut):
@@ -387,7 +401,7 @@ def _impl_xla(x, *ws, shortcut):
 
 
 def _impl_pallas(x, *ws, shortcut):
-    return _apply_leading(_pallas_c3k2)(x, *ws, shortcut=shortcut)
+    return _unroll_leading(_pallas_c3k2)(x, *ws, shortcut=shortcut)
 
 
 def _batch_rule(args, dims, *, shortcut):
@@ -434,8 +448,9 @@ def _impl_cat_xla(xa, xb, *ws, shortcut, up_a):
 
 
 def _impl_cat_pallas(xa, xb, *ws, shortcut, up_a):
-    return _apply_leading2(_pallas_c3k2_cat)(xa, xb, *ws,
-                                             shortcut=shortcut, up_a=up_a)
+    return _unroll_leading(_pallas_c3k2_cat, 2)(xa, xb, *ws,
+                                                shortcut=shortcut,
+                                                up_a=up_a)
 
 
 def _batch_rule_cat(args, dims, *, shortcut, up_a):
@@ -485,10 +500,11 @@ def fused_c3k2(x, cv1, cv2, cv3, bottlenecks, *, shortcut=True,
     if use_pallas is None:
         return fused_c3k2_p.bind(x, *ws, shortcut=shortcut)
     if use_pallas:
-        fn = functools.partial(_pallas_c3k2, interpret=interpret)
+        fn = _unroll_leading(
+            functools.partial(_pallas_c3k2, interpret=interpret))
     else:
-        fn = _xla_c3k2
-    return _apply_leading(fn)(x, *ws, shortcut=shortcut)
+        fn = _apply_leading(_xla_c3k2)
+    return fn(x, *ws, shortcut=shortcut)
 
 
 def _pack_weights(cv1, cv2, cv3, bottlenecks, dt):

@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .c3k2_kernel import (  # shared shift-dot 3x3 + row-grid helpers
     _conv3x3,
     _grid_blk,
-    _idx_spec,
     _pad_rows,
+    _unroll_leading,
     _whole_g,
 )
 
@@ -75,18 +75,19 @@ def _kernel(x_ref, *refs):
     o_ref[:] = _head_math(x_ref[:], *(r[:] for r in w_refs))
 
 
-def _kernel_grid(ids_ref, x_ref, *refs, blk):
+def _kernel_grid(x_ref, *refs, blk):
     """Row-gridded form (see c3k2_kernel for why): the six convs' f32
     accumulators at 160^2 (~50 MB) blow the 16 MB scoped-VMEM stack, so
     each grid step computes blk output rows from a halo-4 window of the
     2-row-zero-padded resident input. The window's zero rows ARE the
     conv's same-pad zeros at image edges; interior contamination from
     the window-edge padding never reaches the kept center rows (two
-    chained 3x3s consume exactly the 2-row halo). Index arrives as an
-    SMEM operand, not pl.program_id (vmap prepends the batch grid dim).
+    chained 3x3s consume exactly the 2-row halo). pl.program_id is safe
+    here: the Pallas forms are applied by static unroll, never vmap
+    (which would prepend the batch axis to the grid and re-bind it).
     """
     *w_refs, o_ref = refs
-    i = ids_ref[0]
+    i = pl.program_id(0)
     xw = x_ref[pl.ds(i * blk, blk + 4)]
     out = _head_math(xw, *(r[:] for r in w_refs))
     o_ref[:] = out[2:blk + 2]
@@ -111,17 +112,15 @@ def _pallas_head(x, *ws, interpret=False):
                                    memory_space=pltpu.VMEM),
         )(x, *ws)
     x_pad = _pad_rows(x, 2)
-    ids = jnp.arange(h // blk, dtype=jnp.int32)
     return pl.pallas_call(
         functools.partial(_kernel_grid, blk=blk),
         interpret=interpret,
         grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, co), jnp.float32),
-        in_specs=[_idx_spec(), _whole_g(x_pad)]
-                 + [_whole_g(a) for a in ws],
+        in_specs=[_whole_g(x_pad)] + [_whole_g(a) for a in ws],
         out_specs=pl.BlockSpec((blk, w, co), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(ids, x_pad, *ws)
+    )(x_pad, *ws)
 
 
 def _xla_head(x, *ws):
@@ -158,7 +157,7 @@ def _impl_xla(x, *ws):
 
 
 def _impl_pallas(x, *ws):
-    return _apply_leading(_pallas_head)(x, *ws)
+    return _unroll_leading(_pallas_head)(x, *ws)
 
 
 def _batch_rule(args, dims):
@@ -209,7 +208,7 @@ def fused_head(x, cls_convs, cls_pred, reg_convs, reg_pred, *,
     if use_pallas is None:
         out = fused_head_p.bind(x, *ws)
     elif use_pallas:
-        out = _apply_leading(
+        out = _unroll_leading(
             functools.partial(_pallas_head, interpret=interpret))(x, *ws)
     else:
         out = _apply_leading(_xla_head)(x, *ws)
