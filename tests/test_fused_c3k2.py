@@ -65,12 +65,15 @@ def test_param_tree_identical():
             == jax.tree.map(lambda a: (a.shape, a.dtype), vf))
 
 
-def test_pallas_interpret_bit_identical_to_xla_form():
-    x = jax.random.normal(jax.random.key(1), (20, 24, 16), jnp.bfloat16)
-    fus = C3k2(32, n=2, deploy=True, fused=True)
+@pytest.mark.parametrize("h,n", [(20, 2), (80, 1), (80, 2)])
+def test_pallas_interpret_bit_identical_to_xla_form(h, n):
+    """h=20 exercises the gridless kernel; h=80 the row-gridded one
+    (blk=20, 4 steps) with both halo widths (halo=n)."""
+    x = jax.random.normal(jax.random.key(1), (h, 24, 16), jnp.bfloat16)
+    fus = C3k2(32, n=n, deploy=True, fused=True)
     vs = _rand_params(fus.init(jax.random.key(0), x[None]),
                       jax.random.key(3))
-    cv1, cv2, cv3, bns = _weights_from_tree(vs["params"], 2)
+    cv1, cv2, cv3, bns = _weights_from_tree(vs["params"], n)
     yx = fused_c3k2(x, cv1, cv2, cv3, bns, use_pallas=False)
     yp = fused_c3k2(x, cv1, cv2, cv3, bns, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(yx, np.float32),
@@ -109,14 +112,44 @@ def test_pair_form_matches_standard_concat(up_x):
     np.testing.assert_allclose(yf, ys, atol=0.02, rtol=0.05)
 
 
-def test_pair_pallas_interpret_bit_identical():
+@pytest.mark.parametrize("h,n", [(20, 1), (80, 1), (80, 2)])
+def test_pair_pallas_interpret_bit_identical(h, n):
+    """h=80 exercises _kernel_cat_grid (blk=20) with both up_a halo
+    parities (n=1 -> halo 2 via rounding, n=2 -> halo 2 natively)."""
     from unina_yolo_dla_tpu.ops.pallas.c3k2_kernel import fused_c3k2_cat
 
-    xa = jax.random.normal(jax.random.key(1), (10, 12, 8), jnp.bfloat16)
-    xb = jax.random.normal(jax.random.key(2), (20, 24, 16), jnp.bfloat16)
-    fus = C3k2(24, n=1, deploy=True, fused=True)
+    xa = jax.random.normal(jax.random.key(1), (h // 2, 12, 8),
+                           jnp.bfloat16)
+    xb = jax.random.normal(jax.random.key(2), (h, 24, 16), jnp.bfloat16)
+    fus = C3k2(24, n=n, deploy=True, fused=True)
     vs = _rand_params(
         fus.init(jax.random.key(0), xa[None], x2=xb[None], up_x=True),
+        jax.random.key(3))
+    cv1, cv2, cv3, bns = _weights_from_tree(vs["params"], n)
+    yx = fused_c3k2_cat(xa, xb, cv1, cv2, cv3, bns, upsample_a=True,
+                        use_pallas=False)
+    yp = fused_c3k2_cat(xa, xb, cv1, cv2, cv3, bns, upsample_a=True,
+                        use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(yx, np.float32),
+                                  np.asarray(yp, np.float32))
+
+
+def test_pair_pallas_batched_unrolls_not_vmaps():
+    """Batched use_pallas=True through the gridded cat kernel: the r3
+    advisor found this path still went through jax.vmap, whose pallas
+    batching rule prepends the batch axis to the grid and re-binds
+    pl.program_id(0) — silently corrupting every row-block index. The
+    fixed path statically unrolls; outputs must match the XLA form
+    bit-for-bit per sample."""
+    from unina_yolo_dla_tpu.ops.pallas.c3k2_kernel import fused_c3k2_cat
+
+    xa = jax.random.normal(jax.random.key(1), (2, 40, 12, 8),
+                           jnp.bfloat16)
+    xb = jax.random.normal(jax.random.key(2), (2, 80, 24, 16),
+                           jnp.bfloat16)
+    fus = C3k2(24, n=1, deploy=True, fused=True)
+    vs = _rand_params(
+        fus.init(jax.random.key(0), xa, x2=xb, up_x=True),
         jax.random.key(3))
     cv1, cv2, cv3, bns = _weights_from_tree(vs["params"], 1)
     yx = fused_c3k2_cat(xa, xb, cv1, cv2, cv3, bns, upsample_a=True,
@@ -150,6 +183,35 @@ def test_fused_head_matches_standard():
     for a, b in zip(std.apply(vs, x), fus.apply(vs, x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=0.03, rtol=0.05)
+    p = vs["params"]
+    cc = [(p[n]["conv"]["kernel"], p[n]["conv"]["bias"])
+          for n in ("cls_conv1", "cls_conv2")]
+    rc = [(p[n]["conv"]["kernel"], p[n]["conv"]["bias"])
+          for n in ("reg_conv1", "reg_conv2")]
+    cp = (p["cls_pred"]["kernel"], p["cls_pred"]["bias"])
+    rp = (p["reg_pred"]["kernel"], p["reg_pred"]["bias"])
+    yx = fused_head(x[0], cc, cp, rc, rp, use_pallas=False)
+    yp = fused_head(x[0], cc, cp, rc, rp, use_pallas=True, interpret=True)
+    for a, b in zip(yx, yp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_head_gridded_bit_identical():
+    """H=80 drives the row-gridded head kernel (blk=20). The r3 advisor
+    proved the pre-fix kernel's output rows 0 and H-1 diverge from the
+    gridless/XLA form for every H >= 80 (conv1's nonzero halo rows leak
+    into conv2's edge taps) — this asserts bit-identity on exactly that
+    path, edge rows included."""
+    from unina_yolo_dla_tpu.models import ModelConfig
+    from unina_yolo_dla_tpu.models.head import DetectionHead
+    from unina_yolo_dla_tpu.ops.pallas.head_kernel import fused_head
+
+    cfg = ModelConfig(num_classes=4, base_channels=8, input_size=64,
+                      deploy=True)
+    x = jax.random.normal(jax.random.key(1), (1, 80, 16, 24),
+                          jnp.bfloat16)
+    std = DetectionHead(cfg)
+    vs = _rand_params(std.init(jax.random.key(0), x), jax.random.key(3))
     p = vs["params"]
     cc = [(p[n]["conv"]["kernel"], p[n]["conv"]["bias"])
           for n in ("cls_conv1", "cls_conv2")]

@@ -181,13 +181,33 @@ def _kernel(x_ref, w1, b1, wb1, bb1, wb2, bb2, w2, b2, w3, b3, o_ref, *,
 # same zero padding; the halo gives interior taps their true neighbors).
 # --------------------------------------------------------------------- #
 def _grid_blk(h):
-    """Largest row-block <= 32 that tiles H, or None to stay gridless."""
+    """Largest row-block <= 32 that tiles H, or None to stay gridless.
+
+    At H >= 80 the gridless form blows Mosaic's 16 MB scoped-VMEM stack
+    on real hardware, so a None fallback there is a latent OOM, not a
+    fast path — warn loudly (the deploy sizes 160/80/40 all tile; only
+    odd/prime-ish custom sizes hit this)."""
     if h < 80:
         return None
     for blk in range(32, 7, -1):
         if h % blk == 0:
             return blk
+    import warnings
+    warnings.warn(
+        f"fused kernels: H={h} >= 80 has no row-block divisor in [8, 32];"
+        " falling back to the gridless Pallas form, which may exceed the"
+        " 16 MB scoped-VMEM limit on real TPUs. Use an H divisible by a"
+        " block in [8, 32] (the deploy sizes 160/80/40 all are).",
+        stacklevel=3)
     return None
+
+
+# Mosaic enforces a 16 MB scoped-VMEM stack by default; the gridded
+# fpn_c3k2_2 pair-kernel's live temporaries measure 17.51 MB at blk=32
+# on real v5e (the BENCH_r03 `_fc: null` root cause — compile-time OOM,
+# surfaced by tools/fc_probe.py). v5e VMEM is 128 MB, so raising the
+# per-kernel limit to 32 MB is free headroom, not a trade.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def _unroll_leading(fn, n_batched=1):
@@ -304,6 +324,7 @@ def _pallas_c3k2(x, *ws, shortcut, interpret=False):
         return pl.pallas_call(
             kern,
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
             out_shape=jax.ShapeDtypeStruct((h, w, f), x.dtype),
             in_specs=[_whole(x)] + [_whole(a) for a in ws],
             out_specs=pl.BlockSpec((h, w, f), lambda: (0, 0, 0),
@@ -317,6 +338,7 @@ def _pallas_c3k2(x, *ws, shortcut, interpret=False):
     return pl.pallas_call(
         kern,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, f), x.dtype),
         in_specs=[_whole_g(x_pad)] + [_whole_g(a) for a in ws],
@@ -334,6 +356,7 @@ def _pallas_c3k2_cat(xa, xb, *ws, shortcut, up_a, interpret=False):
         return pl.pallas_call(
             kern,
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
             out_shape=jax.ShapeDtypeStruct((h, w, f), xb.dtype),
             in_specs=[_whole(xa), _whole(xb)] + [_whole(a) for a in ws],
             out_specs=pl.BlockSpec((h, w, f), lambda: (0, 0, 0),
@@ -348,6 +371,7 @@ def _pallas_c3k2_cat(xa, xb, *ws, shortcut, up_a, interpret=False):
     return pl.pallas_call(
         kern,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, f), xb.dtype),
         in_specs=[_whole_g(xa_pad), _whole_g(xb_pad)]
@@ -542,8 +566,11 @@ def fused_c3k2_cat(xa, xb, cv1, cv2, cv3, bottlenecks, *, shortcut=True,
         return fused_c3k2_cat_p.bind(xa, xb, *ws, shortcut=shortcut,
                                      up_a=upsample_a)
     if use_pallas:
-        fn = functools.partial(_pallas_c3k2_cat, interpret=interpret)
-    else:
-        fn = _xla_c3k2_cat
-    return _apply_leading2(fn)(xa, xb, *ws, shortcut=shortcut,
-                               up_a=upsample_a)
+        # static unroll, NEVER vmap: the pallas batching rule prepends
+        # the batch axis to the grid, re-binding pl.program_id(0) inside
+        # _kernel_cat_grid to the batch index (same rule as fused_c3k2).
+        fn = _unroll_leading(
+            functools.partial(_pallas_c3k2_cat, interpret=interpret), 2)
+        return fn(xa, xb, *ws, shortcut=shortcut, up_a=upsample_a)
+    return _apply_leading2(_xla_c3k2_cat)(xa, xb, *ws, shortcut=shortcut,
+                                          up_a=upsample_a)

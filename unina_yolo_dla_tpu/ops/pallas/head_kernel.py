@@ -42,9 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .c3k2_kernel import (  # shared shift-dot 3x3 + row-grid helpers
+    _VMEM_LIMIT,
     _conv3x3,
     _grid_blk,
+    _mask_rows,
     _pad_rows,
+    _row_mask,
     _unroll_leading,
     _whole_g,
 )
@@ -53,16 +56,29 @@ __all__ = ["fused_head", "fused_head_p"]
 
 
 def _head_math(x, wc1, bc1, wc2, bc2, wcp, bcp, wr1, br1, wr2, br2, wrp,
-               brp):
+               brp, valid=None):
     """cls/reg branches on in-memory arrays — shared by the Pallas kernel
     body and the XLA form. 3x3 weights (3,3,h,h); preds (h, co) + (1,co).
-    Returns (H, W, Ccls+4) float32: cls logits then reg distances."""
+    Returns (H, W, Ccls+4) float32: cls logits then reg distances.
+
+    ``valid`` (row-gridded form only) marks the window rows that are real
+    image rows. Conv1 evaluated at the window's out-of-image halo rows is
+    NONZERO (ReLU of bias + the edge-row taps), but the gridless form's
+    same-pad semantics say conv2 must see ZERO there — so conv1's output
+    is re-masked before conv2 (both branches), exactly like the c3k2
+    kernel's ``_post_win``. No mask is needed after conv2: the 1x1 preds
+    do not mix rows, and the contaminated halo rows are sliced away.
+    """
     cls = _conv3x3(x, wc1, bc1)
+    if valid is not None:
+        cls = _mask_rows(cls, valid)
     cls = _conv3x3(cls, wc2, bc2)
     cls = lax.dot_general(cls, wcp, (((2,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)
     cls = cls + bcp.reshape(1, 1, -1).astype(jnp.float32)
     reg = _conv3x3(x, wr1, br1)
+    if valid is not None:
+        reg = _mask_rows(reg, valid)
     reg = _conv3x3(reg, wr2, br2)
     reg = lax.dot_general(reg, wrp, (((2,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)
@@ -75,21 +91,26 @@ def _kernel(x_ref, *refs):
     o_ref[:] = _head_math(x_ref[:], *(r[:] for r in w_refs))
 
 
-def _kernel_grid(x_ref, *refs, blk):
+def _kernel_grid(x_ref, *refs, blk, h_img):
     """Row-gridded form (see c3k2_kernel for why): the six convs' f32
     accumulators at 160^2 (~50 MB) blow the 16 MB scoped-VMEM stack, so
     each grid step computes blk output rows from a halo-4 window of the
     2-row-zero-padded resident input. The window's zero rows ARE the
-    conv's same-pad zeros at image edges; interior contamination from
-    the window-edge padding never reaches the kept center rows (two
-    chained 3x3s consume exactly the 2-row halo). pl.program_id is safe
-    here: the Pallas forms are applied by static unroll, never vmap
-    (which would prepend the batch axis to the grid and re-bind it).
+    conv's same-pad zeros at image edges for CONV1's input taps — but
+    conv1's OUTPUT at those fictitious rows is nonzero, so it is
+    re-masked to zero before conv2 via ``valid`` (the r3 advisor found
+    output rows 0/H-1 silently diverging from the gridless form without
+    it). Interior contamination from the window-edge padding never
+    reaches the kept center rows (two chained 3x3s consume exactly the
+    2-row halo). pl.program_id is safe here: the Pallas forms are
+    applied by static unroll, never vmap (which would prepend the batch
+    axis to the grid and re-bind it).
     """
     *w_refs, o_ref = refs
     i = pl.program_id(0)
     xw = x_ref[pl.ds(i * blk, blk + 4)]
-    out = _head_math(xw, *(r[:] for r in w_refs))
+    valid = _row_mask(i * blk - 2, blk + 4, h_img)
+    out = _head_math(xw, *(r[:] for r in w_refs), valid=valid)
     o_ref[:] = out[2:blk + 2]
 
 
@@ -106,6 +127,7 @@ def _pallas_head(x, *ws, interpret=False):
         return pl.pallas_call(
             _kernel,
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
             out_shape=jax.ShapeDtypeStruct((h, w, co), jnp.float32),
             in_specs=[_whole(x)] + [_whole(a) for a in ws],
             out_specs=pl.BlockSpec((h, w, co), lambda: (0, 0, 0),
@@ -113,8 +135,9 @@ def _pallas_head(x, *ws, interpret=False):
         )(x, *ws)
     x_pad = _pad_rows(x, 2)
     return pl.pallas_call(
-        functools.partial(_kernel_grid, blk=blk),
+        functools.partial(_kernel_grid, blk=blk, h_img=h),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         grid=(h // blk,),
         out_shape=jax.ShapeDtypeStruct((h, w, co), jnp.float32),
         in_specs=[_whole_g(x_pad)] + [_whole_g(a) for a in ws],
