@@ -77,6 +77,11 @@ def main() -> None:
     fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True, fused_head=True)
     fc_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_c3k2=True,
                                       fused_head=True)
+    # the same fused math carried by the XLA form instead of the Pallas
+    # kernels (fused_impl="xla") — isolated probes (tools/c3k2_probe.py)
+    # measured the XLA form faster on every fc subgraph
+    fcx_cfg = dataclasses.replace(fc_cfg, fused_impl="xla")
+    fcx_int8_cfg = dataclasses.replace(fc_int8_cfg, fused_impl="xla")
 
     engines = {
         "int8_s2dm": (build_serving_fn(UninaYoloDla(s2dm_int8_cfg),
@@ -87,6 +92,10 @@ def main() -> None:
                                           fc_int8_cfg), s2dm_int8_vars),
         "bf16_s2dm_fc": (build_serving_fn(UninaYoloDla(fc_cfg), fc_cfg),
                          s2dm_bf16_vars),
+        "int8_s2dm_fcx": (build_serving_fn(UninaYoloDla(fcx_int8_cfg),
+                                           fcx_int8_cfg), s2dm_int8_vars),
+        "bf16_s2dm_fcx": (build_serving_fn(UninaYoloDla(fcx_cfg), fcx_cfg),
+                          s2dm_bf16_vars),
     }
 
     # stage 1: single-call compile + execute per engine, full traceback

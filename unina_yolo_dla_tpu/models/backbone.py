@@ -27,7 +27,8 @@ class Backbone(nn.Module):
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,
                                   deploy=cfg.deploy)
-        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2)
+        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2,
+                                   fused_impl=cfg.fused_impl)
 
         # Stem: (B,640,640,3) -> (B,320,320,c1)
         if cfg.stem_s2d:

@@ -296,6 +296,10 @@ class C3k2(nn.Module):
     quant: QuantSpec | None = None
     deploy: bool = False
     fused: bool = False
+    # "pallas" -> per-platform primitive (Pallas kernel on tpu);
+    # "xla" -> the identical-math XLA form inline (measured faster on
+    # the fc subgraphs, tools/c3k2_probe.py r4 — see ModelConfig).
+    fused_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, *,
@@ -327,12 +331,15 @@ class C3k2(nn.Module):
             cv2 = _DeployConvHolder((1, 1, cin, hidden), name="cv2")()
             cv3 = _DeployConvHolder((1, 1, 2 * hidden, self.features),
                                     name="cv3")()
+            # None selects the per-platform primitive (Pallas on tpu);
+            # False inlines the XLA form directly (lowers everywhere)
+            up = None if self.fused_impl == "pallas" else False
             if x2 is not None:
                 return fused_c3k2_cat(x, deq(x2), cv1, cv2, cv3, bns,
                                       shortcut=self.shortcut,
-                                      upsample_a=up_x)
+                                      upsample_a=up_x, use_pallas=up)
             return fused_c3k2(x, cv1, cv2, cv3, bns,
-                              shortcut=self.shortcut)
+                              shortcut=self.shortcut, use_pallas=up)
         if x2 is not None:
             x = upsample_nearest_2x(x) if up_x else x
             x = concat_features([x, x2])

@@ -91,6 +91,17 @@ class ModelConfig:
     # device time across six dispatch/bandwidth-bound fusions; quantized
     # head levels (p3/p4 in the int8 engine) keep the standard path.
     fused_head: bool = False
+    # which implementation carries the fused C3k2/head subgraphs on TPU:
+    # "pallas" = the per-platform primitive (one VMEM pass via
+    # ops/pallas/{c3k2,head}_kernel.py on tpu, XLA form elsewhere);
+    # "xla" = the identical-math XLA form inline on every platform (the
+    # split-dot/shift-slice formulation WITHOUT a hand-written kernel).
+    # Isolated r4 probes (tools/c3k2_probe.py) measured the XLA form
+    # faster than the row-gridded Pallas kernels on every fc subgraph
+    # (stage1_block 0.021 vs 0.099 ms, fpn_c3k2_2 0.053 vs 0.098,
+    # head_p2 0.138 vs 0.218) — the grid re-streams the resident input
+    # per step, where XLA schedules the same math as flat fusions.
+    fused_impl: str = "pallas"
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

@@ -59,8 +59,10 @@ class DetectionHead(nn.Module):
                          for n in ("reg_conv1", "reg_conv2")]
             reg_pred = _DeployConvParams((1, 1, h, 4 * cfg.num_anchors),
                                          name="reg_pred")()
-            return fused_head(x.astype(cfg.compute_dtype), cls_convs,
-                              cls_pred, reg_convs, reg_pred)
+            return fused_head(
+                x.astype(cfg.compute_dtype), cls_convs, cls_pred,
+                reg_convs, reg_pred,
+                use_pallas=None if cfg.fused_impl == "pallas" else False)
         kw: dict[str, Any] = dict(dtype=cfg.compute_dtype,
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,

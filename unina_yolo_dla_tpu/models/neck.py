@@ -25,7 +25,8 @@ class Neck(nn.Module):
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,
                                   deploy=cfg.deploy)
-        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2)
+        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2,
+                                   fused_impl=cfg.fused_impl)
 
         p2_in, p3_in, p4_in, p4_sppf = features
 
