@@ -189,3 +189,31 @@ def test_corruptions_contract():
     b = next(corrupt_batches(batches, "gaussian_noise", 2, seed=9)())
     np.testing.assert_array_equal(a["images"], b["images"])
     assert not np.array_equal(a["images"], np.stack([img, img]))
+
+
+def test_qat_corruption_aug(synth_root):
+    """--qat-corruption-aug path: corruption_p perturbs images (even with
+    augment=False, the QAT recipe), leaves labels/boxes untouched, and is
+    deterministic for a fixed rng stream; p=0 is the identity."""
+    from unina_yolo_dla_tpu.data.corruptions import maybe_corrupt
+    from unina_yolo_dla_tpu.data.dataset import YoloDataset, batch_iterator
+
+    root, _ = synth_root
+    ds = YoloDataset(str(root / "images" / "train"), img_size=160)
+
+    def grab(p, seed=3):
+        return next(batch_iterator(ds, 4, np.random.default_rng(seed),
+                                   steps=1, shuffle=False, augment=False,
+                                   corruption_p=p))
+
+    clean, corr1, corr2 = grab(0.0), grab(1.0), grab(1.0)
+    assert not np.array_equal(corr1["images"], clean["images"])
+    np.testing.assert_array_equal(corr1["images"], corr2["images"])
+    for k in ("boxes", "labels", "mask"):
+        np.testing.assert_array_equal(corr1[k], clean[k])
+    np.testing.assert_array_equal(grab(0.0)["images"], clean["images"])
+
+    img = np.random.default_rng(0).integers(0, 256, (32, 32, 3),
+                                            dtype=np.uint8)
+    np.testing.assert_array_equal(
+        maybe_corrupt(np.random.default_rng(1), img, 0.0), img)

@@ -76,6 +76,28 @@ CORRUPTIONS: dict[str, Callable] = {
 }
 
 
+def maybe_corrupt(rng: np.random.Generator, img: np.ndarray, p: float,
+                  severities: tuple[int, ...] = (1, 2)) -> np.ndarray:
+    """With probability ``p``, apply one random corruption at a random
+    severity — the QAT corruption-augmentation primitive
+    (``train --qat-corruption-aug P``).
+
+    Round-3 measured the int8 engine losing 4.8 mAP / 10.2 small-F1 pts
+    vs FP32 under blur and 2.4/9.1 under low light (RESULTS.md): clean
+    calibration leaves low-contrast activation ranges poorly covered, so
+    quantisation clips exactly the regime where small objects are
+    faintest. Mixing corrupted frames into phase-2 calibration AND the
+    QAT fine-tune batches widens the calibrated ranges and lets the
+    fine-tune adapt the weights to them. Severities default to (1, 2) —
+    severity 3 destroys the small-object signal outright for FP32 too.
+    """
+    if p <= 0 or rng.uniform() >= p:
+        return img
+    name = list(CORRUPTIONS)[int(rng.integers(len(CORRUPTIONS)))]
+    sev = int(severities[int(rng.integers(len(severities)))])
+    return CORRUPTIONS[name](img, sev, rng)
+
+
 def corrupt_batches(batches_fn, name: str, severity: int, seed: int = 0):
     """Wrap a batches_fn so every image is corrupted deterministically.
 

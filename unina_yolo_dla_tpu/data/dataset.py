@@ -187,6 +187,7 @@ def batch_iterator(
     mosaic_p: float = 0.0,
     mixup_p: float = 0.0,
     copy_paste=None,
+    corruption_p: float = 0.0,
     process_slice: tuple[int, int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yields static-shape batches; weighted sampling with replacement when
@@ -277,6 +278,13 @@ def batch_iterator(
                     img2, bx2, cl2 = augment_sample(srng, img2, bx2, cl2)
                     img, bx, cl = mixup(
                         srng, (img, bx, cl), (img2, bx2, cl2))
+            if corruption_p > 0:
+                # robustness perturbation (independent of `augment`: the
+                # QAT phase trains augment=False but can still corrupt) —
+                # image-space only, labels unchanged
+                from .corruptions import maybe_corrupt
+
+                img = maybe_corrupt(srng, img, corruption_p)
             k = min(len(bx), g)
             images[out_b] = img
             boxes[out_b, :k] = bx[:k]

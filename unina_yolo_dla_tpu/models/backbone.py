@@ -27,8 +27,11 @@ class Backbone(nn.Module):
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,
                                   deploy=cfg.deploy)
-        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2,
-                                   fused_impl=cfg.fused_impl)
+        def ckw(name: str) -> dict[str, Any]:
+            # per-block fusion gate (cfg.fused_only; see config.py)
+            on = cfg.fused_c3k2 and (cfg.fused_only is None
+                                     or name in cfg.fused_only)
+            return dict(kw, fused=on, fused_impl=cfg.fused_impl, name=name)
 
         # Stem: (B,640,640,3) -> (B,320,320,c1)
         if cfg.stem_s2d:
@@ -80,15 +83,15 @@ class Backbone(nn.Module):
         if cfg.lite_p2:
             p2 = ConvBlock(c2, 3, name="stage1_block", **kw)(x, train)
         else:
-            p2 = C3k2(c2, n=1, name="stage1_block", **ckw)(x, train)
+            p2 = C3k2(c2, n=1, **ckw("stage1_block"))(x, train)
 
         # Stage 2 -> P3 (stride 8, 80x80)
         x = ConvBlock(c3, 3, strides=2, name="stage2_conv", **kw)(p2, train)
-        p3 = C3k2(c3, n=2, name="stage2_c3k2", **ckw)(x, train)
+        p3 = C3k2(c3, n=2, **ckw("stage2_c3k2"))(x, train)
 
         # Stage 3 -> P4 (stride 16, 40x40)
         x = ConvBlock(c4, 3, strides=2, name="stage3_conv", **kw)(p3, train)
-        p4 = C3k2(c4, n=2, name="stage3_c3k2", **ckw)(x, train)
+        p4 = C3k2(c4, n=2, **ckw("stage3_c3k2"))(x, train)
 
         # SPPF context on top of P4 (reference model.py:200-201)
         p4_sppf = SPPF(c4, name="sppf", **kw)(p4, train)

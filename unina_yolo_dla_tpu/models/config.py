@@ -102,6 +102,16 @@ class ModelConfig:
     # head_p2 0.138 vs 0.218) — the grid re-streams the resident input
     # per step, where XLA schedules the same math as flat fusions.
     fused_impl: str = "pallas"
+    # Selective fusion: when set, only the named blocks/heads fuse
+    # (names are module names: "stage1_block", "fpn_c3k2_2", "head_p2",
+    # ...); None fuses every eligible float subgraph. The r4 on-chip
+    # trace A/B (artifacts/fcx_trace.json) shows fusion is a per-block
+    # decision, not a global one: stage1_block wins big (80 -> 38 us,
+    # movement-bound), the compute-bound heads LOSE (+25 us — the
+    # shift-dot taps waste MXU at K=64 where conv lowering packs K=576),
+    # and fusing everything costs +100 us of collateral layout copies
+    # in downstream convs. Fuse where bytes dominate, nowhere else.
+    fused_only: tuple[str, ...] | None = None
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin

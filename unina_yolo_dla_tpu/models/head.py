@@ -38,7 +38,9 @@ class DetectionHead(nn.Module):
         spec = cfg.quant
         quant_active = (spec is not None and spec.mode != "off"
                         and not spec.excluded("/".join(self.scope.path)))
-        if cfg.fused_head and cfg.deploy and not quant_active:
+        fuse_on = cfg.fused_head and (cfg.fused_only is None
+                                      or self.name in cfg.fused_only)
+        if fuse_on and cfg.deploy and not quant_active:
             # one-VMEM-pass head (ops/pallas/head_kernel.py): both
             # branches' six convs in-register, x read once. Identical
             # param tree (holders mirror ConvBlock/QuantConv layouts).

@@ -25,8 +25,11 @@ class Neck(nn.Module):
                                   param_dtype=cfg.param_dtype,
                                   quant=cfg.quant,
                                   deploy=cfg.deploy)
-        ckw: dict[str, Any] = dict(kw, fused=cfg.fused_c3k2,
-                                   fused_impl=cfg.fused_impl)
+        def ckw(name: str) -> dict[str, Any]:
+            # per-block fusion gate (cfg.fused_only; see config.py)
+            on = cfg.fused_c3k2 and (cfg.fused_only is None
+                                     or name in cfg.fused_only)
+            return dict(kw, fused=on, fused_impl=cfg.fused_impl, name=name)
 
         p2_in, p3_in, p4_in, p4_sppf = features
 
@@ -37,20 +40,20 @@ class Neck(nn.Module):
 
         # --- Top-down (FPN) ---
         p4_lat = ConvBlock(c3, 1, name="lateral_p3", **kw)(p4_sppf, train)
-        p3_fused = C3k2(c3, n=1, name="fpn_c3k2_1", **ckw)(
+        p3_fused = C3k2(c3, n=1, **ckw("fpn_c3k2_1"))(
             p4_lat, train, x2=p3_in, up_x=True)  # 40 -> 80
 
         p3_lat = ConvBlock(c2, 1, name="lateral_p2", **kw)(p3_fused, train)
-        p2_fused = C3k2(c2, n=1, name="fpn_c3k2_2", **ckw)(
+        p2_fused = C3k2(c2, n=1, **ckw("fpn_c3k2_2"))(
             p3_lat, train, x2=p2_in, up_x=True)  # 80 -> 160
 
         # --- Bottom-up (PAN) ---
         p2_down = ConvBlock(c2, 3, strides=2, name="down1", **kw)(p2_fused, train)
-        p3_out = C3k2(c3, n=1, name="pan_c3k2_1", **ckw)(
+        p3_out = C3k2(c3, n=1, **ckw("pan_c3k2_1"))(
             p2_down, train, x2=p3_fused)
 
         p3_down = ConvBlock(c3, 3, strides=2, name="down2", **kw)(p3_out, train)
-        p4_out = C3k2(c4, n=1, name="pan_c3k2_2", **ckw)(
+        p4_out = C3k2(c4, n=1, **ckw("pan_c3k2_2"))(
             p3_down, train, x2=p4_in)
 
         return p2_fused, p3_out, p4_out

@@ -84,6 +84,7 @@ def fit(
     mosaic_p: float = 0.0,
     mixup_p: float = 0.0,
     copy_paste=None,
+    corruption_p: float = 0.0,
     n_devices: int | None = None,
     extra_variables: dict[str, Any] | None = None,
     seed: int = 0,
@@ -177,6 +178,7 @@ def fit(
                 augment=augment, mosaic_p=mosaic_p,
                 mixup_p=mixup_p,
                 copy_paste=copy_paste,
+                corruption_p=corruption_p,
                 process_slice=process_slice)):
             batch.pop("sample_valid", None)
             batch.pop("indices", None)

@@ -77,6 +77,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--copy-paste-assets", default=None,
                    help="directory of RGBA/.npy cone assets for copy-paste "
                         "augmentation (phase 1 only)")
+    p.add_argument("--qat-corruption-aug", type=float, default=0.0,
+                   help="phase-2 robustness: probability of corrupting "
+                        "each calibration AND QAT training image with a "
+                        "random corruption at severity 1-2 "
+                        "(data/corruptions.py). Closes the int8 blur/"
+                        "low-light gap measured in round 3 (RESULTS.md); "
+                        "0 = reference-parity clean QAT")
     p.add_argument("--calibrate-cp", action="store_true")
     p.add_argument("--cp-alpha", type=float, default=0.10)
     p.add_argument("--calib-batches", type=int, default=30)
@@ -151,7 +158,8 @@ def main(argv=None) -> dict:
         def calib_batches():
             return batch_iterator(
                 train_ds, args.batch, np.random.default_rng(0),
-                steps=args.calib_batches, augment=False)
+                steps=args.calib_batches, augment=False,
+                corruption_p=args.qat_corruption_aug)
 
         qat_model, qat_vars = prepare_qat_variables(
             model, variables, calib_batches,
@@ -169,6 +177,7 @@ def main(argv=None) -> dict:
         res = fit(qat_model, qat_vars, train_ds, val_ds, tc_qat,
                   epochs=args.qat_epochs, output_dir=out_dir / "qat",
                   augment=False, n_devices=args.devices,
+                  corruption_p=args.qat_corruption_aug,
                   extra_variables={"quant": qat_vars["quant"]},
                   seed=args.seed, resume=args.resume)
         qat_best = dict(res.best_variables)
