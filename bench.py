@@ -392,16 +392,12 @@ def main() -> None:
     fs = np.asarray(frame_s2d)
     frame_s2dm = jnp.asarray(fs.reshape(fs.shape[0], fs.shape[1] // 2, 24))
 
-    # fully-FUSED merged engines (_fc): every float-path C3k2 as ONE
-    # VMEM pass (ops/pallas/c3k2_kernel.py; the FPN fusions fold their
-    # upsample + concat in too) AND the decoupled heads fused
-    # (ops/pallas/head_kernel.py). In the int8 engine that is exactly
-    # the PERF_EXCLUDE/DEFAULT_EXCLUDE bf16 subgraphs: stage1_block,
-    # fpn_c3k2_2 and head_p2 — together ~29% of r3 device time.
-    s2dm_fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True,
-                                      fused_head=True)
-    s2dm_fc_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_c3k2=True,
-                                           fused_head=True)
+    # fused-STEM merged engines (_fs): stem + stage1 in ONE Pallas VMEM
+    # pass over the merged frame (ops/pallas/stem_kernel.py) — wins both
+    # regimes in-graph on v5e (artifacts/fstem_b8.json: b8 6.83 -> 5.76
+    # ms/batch, b1 0.710 -> 0.689 ms on-chip), graph-exact.
+    s2dm_fs_cfg = dataclasses.replace(s2dm_cfg, fused_stem=True)
+    s2dm_fs_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_stem=True)
 
     engines = {
         "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars,
@@ -416,13 +412,29 @@ def main() -> None:
                       s2dh_int8_vars, frame_s2d),
         "int8_s2dm": (build_serving_fn(s2dm_int8_model, s2dm_int8_cfg),
                       s2dm_int8_vars, frame_s2dm),
-        "int8_s2dm_fc": (build_serving_fn(UninaYoloDla(s2dm_fc_int8_cfg),
-                                          s2dm_fc_int8_cfg),
+        "int8_s2dm_fs": (build_serving_fn(UninaYoloDla(s2dm_fs_int8_cfg),
+                                          s2dm_fs_int8_cfg),
                          s2dm_int8_vars, frame_s2dm),
-        "bf16_s2dm_fc": (build_serving_fn(UninaYoloDla(s2dm_fc_cfg),
-                                          s2dm_fc_cfg),
+        "bf16_s2dm_fs": (build_serving_fn(UninaYoloDla(s2dm_fs_cfg),
+                                          s2dm_fs_cfg),
                          s2dm_bf16_vars, frame_s2dm),
     }
+    if os.environ.get("UNINA_BENCH_FC"):
+        # fused-subgraph (_fc) engines: measured and retired in r4 —
+        # every form LOSES end-to-end (artifacts/fcx_trace.json: bf16
+        # 0.711 -> 0.813 ms XLA form / 1.134 Pallas; even the best
+        # selective set is net neutral, the fused output layout costing
+        # downstream convs what the fused region saves)
+        s2dm_fc_cfg = dataclasses.replace(s2dm_cfg, fused_c3k2=True,
+                                          fused_head=True)
+        s2dm_fc_int8_cfg = dataclasses.replace(
+            s2dm_int8_cfg, fused_c3k2=True, fused_head=True)
+        engines["int8_s2dm_fc"] = (build_serving_fn(
+            UninaYoloDla(s2dm_fc_int8_cfg), s2dm_fc_int8_cfg),
+            s2dm_int8_vars, frame_s2dm)
+        engines["bf16_s2dm_fc"] = (build_serving_fn(
+            UninaYoloDla(s2dm_fc_cfg), s2dm_fc_cfg),
+            s2dm_bf16_vars, frame_s2dm)
     if os.environ.get("UNINA_BENCH_PALLAS_OPS"):
         # retired on evidence (BENCH_r02: 2.79 vs 1.18 ms — the Pallas
         # decode/NMS variants lose to the XLA-fused ops); keep the
@@ -450,6 +462,7 @@ def main() -> None:
     ab_s2d = pair_ab("int8_s2dh", "bf16_s2dh")
     ab_stem = pair_ab("bf16_s2dh", "bf16_folded")
     ab_merged = pair_ab("int8_s2dm", "int8_s2dh")
+    ab_fs = pair_ab("int8_s2dm_fs", "int8_s2dm")
     ab_fc = pair_ab("int8_s2dm_fc", "int8_s2dm")
 
     # --- throughput + MFU ---
@@ -500,10 +513,10 @@ def main() -> None:
         loop_m = make_loop(serve_m, 50)
         with trace("runs/bench_trace_s2dm") as _:
             float(loop_m(v_m, f_m))
-        serve_fc, v_fc, f_fc = engines["int8_s2dm_fc"]
-        loop_fc = make_loop(serve_fc, 50)
-        with trace("runs/bench_trace_s2dm_fc") as _:
-            float(loop_fc(v_fc, f_fc))
+        serve_fs, v_fs, f_fs = engines["int8_s2dm_fs"]
+        loop_fs = make_loop(serve_fs, 50)
+        with trace("runs/bench_trace_s2dm_fs") as _:
+            float(loop_fs(v_fs, f_fs))
         # batch-8 forward trace: the per-op bytes/flops behind the
         # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
         xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
@@ -539,6 +552,7 @@ def main() -> None:
                   "int8_vs_bf16_s2dh": ab_s2d,
                   "s2dh_vs_std_stem": ab_stem,
                   "s2dm_vs_s2dh_int8": ab_merged,
+                  "fs_vs_s2dm_int8": ab_fs,
                   "fc_vs_s2dm_int8": ab_fc,
                   "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
                   "batch8_fps": round(fps8, 0),

@@ -70,6 +70,14 @@ def main(argv=None) -> None:
                         "+ bias + ReLU) — the fastest measured stage1 "
                         "lowering (0.036 vs 0.082 ms isolated). Implies "
                         "--stem-s2d-host")
+    p.add_argument("--fused-stem", action="store_true",
+                   help="with --s2d-merged: stem AND stage1 in ONE "
+                        "Pallas VMEM pass over the merged frame "
+                        "(ops/pallas/stem_kernel.py). Wins BOTH regimes "
+                        "in-graph on v5e (b8: 6.83 -> 5.76 ms/batch — "
+                        "the batched XLA stem lowering pays 1.08 "
+                        "ms/batch of pad fusions; b1: 0.710 -> 0.689 "
+                        "ms), graph-exact vs the unfused chain")
     p.add_argument("--stage1-s2d", action="store_true",
                    help="blocked stage1 downsample (deploy graphs): "
                         "on-device reshape-transpose s2d + shift-dot "
@@ -165,6 +173,13 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, s2d_merged=True)
         print(">>> stem columns merged: input (S/2,S/4,24), stage1 is "
               "the fused Pallas VMEM pass")
+    if args.fused_stem:
+        if not args.s2d_merged:
+            raise SystemExit("--fused-stem requires --s2d-merged (the "
+                             "kernel consumes the column-merged frame)")
+        cfg = dataclasses.replace(cfg, fused_stem=True)
+        print(">>> stem+stage1 fused: one Pallas VMEM pass from the "
+              "merged frame to the stage1 output")
     if args.fused_c3k2:
         cfg = dataclasses.replace(cfg, fused_c3k2=True)
         print(">>> C3k2 blocks fused: one VMEM pass per float-path block "

@@ -34,6 +34,32 @@ class Backbone(nn.Module):
             return dict(kw, fused=on, fused_impl=cfg.fused_impl, name=name)
 
         # Stem: (B,640,640,3) -> (B,320,320,c1)
+        if cfg.s2d_merged and cfg.fused_stem:
+            # batched-regime engine: stem + stage1 in ONE Pallas VMEM
+            # pass over the merged frame (ops/pallas/stem_kernel.py) —
+            # same param tree as the stem ConvBlock + MergedDownsample
+            # it replaces, so merged checkpoints load either way.
+            from ..ops.pallas.stem_kernel import fused_stem_stage1
+            from .blocks import _DeployConvHolder
+
+            cm = x.shape[-1]
+            ks, bs = _DeployConvHolder((2, 2, cm, 2 * c1), name="stem")()
+            k1, b1 = _DeployConvHolder((2, 2, 4 * c1, c2),
+                                       name="stage1_conv")()
+            x = fused_stem_stage1(x.astype(cfg.compute_dtype),
+                                  ks, bs, k1, b1)
+            if cfg.lite_p2:
+                p2 = ConvBlock(c2, 3, name="stage1_block", **kw)(x, train)
+            else:
+                p2 = C3k2(c2, n=1, **ckw("stage1_block"))(x, train)
+            x = ConvBlock(c3, 3, strides=2, name="stage2_conv",
+                          **kw)(p2, train)
+            p3 = C3k2(c3, n=2, **ckw("stage2_c3k2"))(x, train)
+            x = ConvBlock(c4, 3, strides=2, name="stage3_conv",
+                          **kw)(p3, train)
+            p4 = C3k2(c4, n=2, **ckw("stage3_c3k2"))(x, train)
+            p4_sppf = SPPF(c4, name="sppf", **kw)(p4, train)
+            return p2, p3, p4, p4_sppf
         if cfg.stem_s2d:
             # deploy-graph space-to-depth stem: same math, zero C=3 layout
             # copies (weights from quant.deploy.fold_stem_space_to_depth;

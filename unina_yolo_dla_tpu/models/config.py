@@ -112,6 +112,15 @@ class ModelConfig:
     # and fusing everything costs +100 us of collateral layout copies
     # in downstream convs. Fuse where bytes dominate, nowhere else.
     fused_only: tuple[str, ...] | None = None
+    # One Pallas VMEM pass for stem+stage1 over the merged frame
+    # (ops/pallas/stem_kernel.py; requires s2d_merged). BATCHED-regime
+    # engine: at b8 the XLA stem lowering materialises its shifted-slice
+    # patches through HBM (1.08 ms/batch of pad fusions, artifacts/
+    # b8_trace.json) and the kernel replaces stem+stage1's 1.71 ms with
+    # ~1.05 ms; at batch 1 the XLA stem fuses fine (90 us chain) and the
+    # kernel LOSES (~0.20 ms — the CM=24 input lanes waste the MXU), so
+    # the batch-1 default export keeps the standard chain.
+    fused_stem: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":
         """Same architecture with quantisation mode switched — the QAT twin
