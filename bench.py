@@ -20,10 +20,14 @@ K=1024) — as ONE jitted XLA program on the TPU, for FIVE engines:
   pallas       bf16 graph with the hand-written Pallas preprocess/decode/
                NMS kernels instead of the XLA-fused ops
 
-The headline value is the FASTEST MEASURED engine's latency; which engine
-that is is reported in extras (`export --int8` remains the default
-deployment engine independently of this session's ordering — see
-RESULTS.md for the standing A/B conclusion).
+The headline value is the DEFAULT-EXPORT engine's latency (the engine
+the committed serving artifact ships — see HEADLINE_ENGINE); the fastest
+measured engine of the session is reported in extras. Rationale
+(r4): min-median headline selection chases relay noise — a session
+whose bf16 rounds include a physically-impossible 0.09 ms fit can
+"win" the headline with a garbage median while the int8 default sits
+at a 0.03 ms IQR. The headline is a claim about the shipped product,
+so it reports the shipped engine.
 
 Engine weights: when the committed trained checkpoint
 (artifacts/engine_source.msgpack: params + batch_stats + phase-2-
@@ -49,6 +53,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import time
 from pathlib import Path
@@ -76,6 +81,10 @@ import os
 BASELINE_MS = 15.0
 LOOP_LENGTHS = (100, 300, 500, 700)
 N_ROUNDS = 5
+# The engine the committed default export ships (export --int8
+# --s2d-merged --fused-stem): the headline reports the product, not the
+# session's (possibly noise-favoured) fastest row.
+HEADLINE_ENGINE = "int8_s2dm_fs"
 # UNINA_BENCH_SMOKE=1: tiny config / short loops so the full bench code
 # path (all engines, interleaving, artifact round-trip) runs in CI on CPU;
 # numbers from smoke mode are meaningless
@@ -97,13 +106,28 @@ PEAK_FLOPS = {
 
 def make_loop(serve, n: int):
     @jax.jit
-    def loop(variables, frame):
+    def loop(variables, frame, salt):
         def body(i, acc):
-            f = frame ^ (i % 7).astype(jnp.uint8)  # defeat CSE across iters
+            # XOR with i defeats CSE across loop iterations; XOR with the
+            # per-call salt makes every dispatch's args unique, defeating
+            # the relay's result memoization of identical (executable,
+            # args) calls (discovered r4: repeated identical timed calls
+            # return in ~1 ms without touching the chip)
+            f = frame ^ ((i + salt) % 7).astype(jnp.uint8)
             d = serve(variables, f)
             return acc + d.scores.sum() + d.valid.sum()
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
     return loop
+
+
+_SALT = itertools.count(1)
+
+
+def next_salt() -> jnp.ndarray:
+    """A fresh device scalar per timed call — no two dispatches share
+    identical args, so a caching relay cannot short-circuit them. The
+    4-byte upload is a per-call constant the slope fit cancels."""
+    return jnp.int32(next(_SALT))
 
 
 def fit_slope(mins: dict[int, float]) -> tuple[float, float]:
@@ -141,8 +165,8 @@ def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
         try:
             ls = {n: make_loop(serve, n) for n in LOOP_LENGTHS}
             for loop in ls.values():      # compile + relay warm-up
-                float(loop(v, frame))
-                float(loop(v, frame))
+                float(loop(v, frame, next_salt()))
+                float(loop(v, frame, next_salt()))
             loops[name] = ls
         except Exception as e:  # a failing engine must not kill the bench
             failed[name] = None
@@ -156,8 +180,9 @@ def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
             _, v, frame = engines[name]
             mins = {}
             for n in LOOP_LENGTHS:
+                salt = next_salt()
                 t0 = time.perf_counter()
-                float(loops[name][n](v, frame))
+                float(loops[name][n](v, frame, salt))
                 mins[n] = time.perf_counter() - t0
             per_round[name].append(fit_slope(mins)[0])
 
@@ -211,6 +236,9 @@ def measure_batch8_artifact(model, variables, cfg, tmpdir) -> dict | None:
             from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
 
             frames_np = space_to_depth_np(frames_np)
+            if art.config.get("s2d_merged"):
+                bb, hh, hw, c = frames_np.shape
+                frames_np = frames_np.reshape(bb, hh, hw // 2, 2 * c)
         frames = jnp.asarray(frames_np)
 
         def serve(v, f):
@@ -218,13 +246,14 @@ def measure_batch8_artifact(model, variables, cfg, tmpdir) -> dict | None:
 
         loops = {n: make_loop_batch(serve, n) for n in (10, 30)}
         for loop in loops.values():
-            jax.block_until_ready(loop(art.variables, frames))
-            jax.block_until_ready(loop(art.variables, frames))
+            jax.block_until_ready(loop(art.variables, frames, next_salt()))
+            jax.block_until_ready(loop(art.variables, frames, next_salt()))
         mins = {n: float("inf") for n in loops}
         for _ in range(5):
             for n, loop in loops.items():
+                salt = next_salt()
                 t0 = time.perf_counter()
-                jax.block_until_ready(loop(art.variables, frames))
+                jax.block_until_ready(loop(art.variables, frames, salt))
                 mins[n] = min(mins[n], time.perf_counter() - t0)
         slope_ms = fit_slope(mins)[0]
         return {"fps": round(b / (slope_ms * 1e-3), 0),
@@ -238,9 +267,9 @@ def measure_batch8_artifact(model, variables, cfg, tmpdir) -> dict | None:
 
 def make_loop_batch(serve, n: int):
     @jax.jit
-    def loop(variables, frames):
+    def loop(variables, frames, salt):
         def body(i, acc):
-            f = frames ^ (i % 7).astype(jnp.uint8)
+            f = frames ^ ((i + salt) % 7).astype(jnp.uint8)
             d = serve(variables, f)
             return acc + d.scores.sum() + d.valid.sum()
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -254,23 +283,24 @@ def measure_throughput(model, variables, rng, batch: int = 8) -> float:
 
     def make(n):
         @jax.jit
-        def loop(v, xx):
+        def loop(v, xx, salt):
             def it(i, acc):
-                outs = model.apply(v, xx + i * 1e-6, train=False)
+                outs = model.apply(v, xx + (i + salt) * 1e-6, train=False)
                 return acc + sum(o.sum() for pair in outs for o in pair)
             return lax.fori_loop(0, n, it, jnp.float32(0.0))
         return loop
 
     l1, l2 = make(10), make(60)
-    float(l1(variables, x))
-    float(l2(variables, x))
+    float(l1(variables, x, next_salt()))
+    float(l2(variables, x, next_salt()))
     dts = []
     for _ in range(5):
+        s1, s2 = next_salt(), next_salt()
         t0 = time.perf_counter()
-        float(l1(variables, x))
+        float(l1(variables, x, s1))
         a = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(l2(variables, x))
+        float(l2(variables, x, s2))
         b = time.perf_counter() - t0
         dts.append((b - a) / 50)
     dts = [d for d in dts if d > 0]  # relay noise can flip the quotient
@@ -445,7 +475,10 @@ def main() -> None:
                                                np.random.default_rng(7))
 
     ok = {k: v for k, v in results.items() if v is not None}
-    best_name = min(ok, key=ok.get)
+    fastest_name = min(ok, key=ok.get)
+    # Headline = the engine the committed default export ships (see
+    # module docstring); session-fastest is recorded alongside.
+    best_name = HEADLINE_ENGINE if ok.get(HEADLINE_ENGINE) else fastest_name
     value = ok[best_name]
 
     # int8-vs-bf16 ordering with a significance call: the orderings only
@@ -500,37 +533,38 @@ def main() -> None:
         serve, v, f = engines["bf16_folded"]
         loop = make_loop(serve, 50)
         with trace("runs/bench_trace") as d:
-            float(loop(v, f))
+            float(loop(v, f, next_salt()))
         serve_i, v_i, f_i = engines["int8_fused"]
         loop_i = make_loop(serve_i, 50)
         with trace("runs/bench_trace_int8") as _:
-            float(loop_i(v_i, f_i))
+            float(loop_i(v_i, f_i, next_salt()))
         serve_s, v_s, f_s = engines["bf16_s2dh"]
         loop_s = make_loop(serve_s, 50)
         with trace("runs/bench_trace_s2d") as _:
-            float(loop_s(v_s, f_s))
+            float(loop_s(v_s, f_s, next_salt()))
         serve_m, v_m, f_m = engines["int8_s2dm"]
         loop_m = make_loop(serve_m, 50)
         with trace("runs/bench_trace_s2dm") as _:
-            float(loop_m(v_m, f_m))
+            float(loop_m(v_m, f_m, next_salt()))
         serve_fs, v_fs, f_fs = engines["int8_s2dm_fs"]
         loop_fs = make_loop(serve_fs, 50)
         with trace("runs/bench_trace_s2dm_fs") as _:
-            float(loop_fs(v_fs, f_fs))
+            float(loop_fs(v_fs, f_fs, next_salt()))
         # batch-8 forward trace: the per-op bytes/flops behind the
         # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
         xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
 
         @jax.jit
-        def loop8(v, xx):
+        def loop8(v, xx, salt):
             def it(i, acc):
-                outs = bf16_model.apply(v, xx + i * 1e-6, train=False)
+                outs = bf16_model.apply(v, xx + (i + salt) * 1e-6,
+                                        train=False)
                 return acc + sum(o.sum() for pr in outs for o in pr)
             return lax.fori_loop(0, 10, it, jnp.float32(0.0))
 
-        float(loop8(bf16_vars, xb))
+        float(loop8(bf16_vars, xb, next_salt()))
         with trace("runs/bench_trace_b8") as _:
-            float(loop8(bf16_vars, xb))
+            float(loop8(bf16_vars, xb, next_salt()))
         trace_dir = d
     except Exception as e:
         print(f"WARNING: profiler trace failed: {e}", flush=True)
@@ -542,6 +576,8 @@ def main() -> None:
         "vs_baseline": round(BASELINE_MS / value, 3),
         "extra": {"rounds": N_ROUNDS, "loop_lengths": list(LOOP_LENGTHS),
                   "engine": best_name,
+                  "fastest_measured": {"engine": fastest_name,
+                                       "ms": round(ok[fastest_name], 3)},
                   "weights": weights_source,
                   "engines_ms": {k: (round(v, 3) if v else None)
                                  for k, v in results.items()},
