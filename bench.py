@@ -246,14 +246,17 @@ def measure_batch8_artifact(model, variables, cfg, tmpdir) -> dict | None:
 
         loops = {n: make_loop_batch(serve, n) for n in (10, 30)}
         for loop in loops.values():
-            jax.block_until_ready(loop(art.variables, frames, next_salt()))
-            jax.block_until_ready(loop(art.variables, frames, next_salt()))
+            # fetch with float(): block_until_ready on a fori_loop scalar
+            # can return through the relay without the computation having
+            # run (r4: it produced a 17M-fps fantasy slope here)
+            float(loop(art.variables, frames, next_salt()))
+            float(loop(art.variables, frames, next_salt()))
         mins = {n: float("inf") for n in loops}
         for _ in range(5):
             for n, loop in loops.items():
                 salt = next_salt()
                 t0 = time.perf_counter()
-                jax.block_until_ready(loop(art.variables, frames, salt))
+                float(loop(art.variables, frames, salt))
                 mins[n] = min(mins[n], time.perf_counter() - t0)
         slope_ms = fit_slope(mins)[0]
         return {"fps": round(b / (slope_ms * 1e-3), 0),
