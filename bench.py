@@ -3,63 +3,78 @@
 
 Measures the full fused serving path — ImageNet-normalise preprocess +
 UNINA-YOLO-DLA forward + 3-level decode + exact greedy NMS (MXU fixpoint,
-K=1024) — as ONE jitted XLA program on the TPU, for FIVE engines:
+K=1024) — as ONE jitted XLA program on the TPU.
 
-  bf16_folded  BatchNorm folded (`export --fold-bn` graph)
-  bf16_s2dh    + host-blocked space-to-depth stem (`export
-               --stem-s2d-host`): the stem is one MXU matmul; the input
-               is (S/2,S/2,12) (the host shuffle is NOT in this loop —
-               it fuses into the native host's staging pass)
-  int8_fused   fused int8 chain (int8 MXU + int8 inter-layer activations,
-               `export --int8` graph; quant/qtensor.py)
-  int8_s2dh    int8 chain + the host-s2d stem
-  bf16_s2dm /  column-MERGED engines (`export --s2d-merged`): same host
-  int8_s2dm    bytes viewed (S/2,S/4,24), stem matmul emits merged
-               columns, stage1 is ONE fused Pallas VMEM pass
-               (ops/pallas/stage1_kernel.py)
-  pallas       bf16 graph with the hand-written Pallas preprocess/decode/
-               NMS kernels instead of the XLA-fused ops
+DEFAULT mode (what the driver runs) measures TWO engines and stays
+inside a wall-clock budget (UNINA_BENCH_BUDGET_S, default 540 s):
 
-The headline value is the DEFAULT-EXPORT engine's latency (the engine
-the committed serving artifact ships — see HEADLINE_ENGINE); the fastest
-measured engine of the session is reported in extras. Rationale
-(r4): min-median headline selection chases relay noise — a session
-whose bf16 rounds include a physically-impossible 0.09 ms fit can
-"win" the headline with a garbage median while the int8 default sits
-at a 0.03 ms IQR. The headline is a claim about the shipped product,
-so it reports the shipped engine.
+  int8_s2dm_fs  the DEFAULT-EXPORT engine (export --int8 --s2d-merged
+                --fused-stem): int8 MXU chain, column-merged
+                space-to-depth view, stem+stage1 as one fused Pallas
+                VMEM pass (ops/pallas/stem_kernel.py). HEADLINE.
+  bf16_s2dm     the bf16 comparator on the same merged view — the
+                int8-vs-bf16 A/B lives in every run.
+
+UNINA_BENCH_FULL=1 restores the full 8-engine sweep (bf16_folded,
+bf16_s2dh, int8_fused, int8_s2dh, int8_s2dm, bf16_s2dm_fs, + the two
+defaults), the batch-8 forward throughput probe and the profiler trace
+set. Engine docs for the full set: see ENGINE_NOTES below.
+
+Evidence budget discipline (round-5 fix): BENCH_r04 was rc=124 — the
+full sweep blew the driver's timeout and left NO perf record; BENCH_r03
+printed a final line so large the driver's tail capture truncated it.
+So this bench now (a) writes every detail INCREMENTALLY to
+artifacts/bench_r5.json (a kill still leaves evidence), (b) prints one
+COMPACT final JSON line (~400 bytes), and (c) checks a soft wall-clock
+budget between phases and between measurement rounds, emitting the
+final line with whatever finished. A persistent XLA compilation cache
+(.jax_cache/) makes repeat runs skip the ~20-40 s/engine compiles.
 
 Engine weights: when the committed trained checkpoint
 (artifacts/engine_source.msgpack: params + batch_stats + phase-2-
 calibrated quant collection with out_q/add_q amaxes) is present, every
 engine is built from it — the int8 engine benched IS the deployed
-engine's numerics. Without it the bench falls back to random weights with
-1-batch max calibration and says so in extras["weights"].
+engine's numerics. Without it the bench falls back to random weights
+with 1-batch max calibration and says so in the artifact.
 
 A/B methodology: engines are measured in N_ROUNDS interleaved rounds
 (engine order shuffled per round) so slow drift in the relay/host hits
 all engines equally; per engine the reported value is the MEDIAN of the
 per-round slope fits and the spread is the IQR across rounds. Each
 per-round measurement iterates the pipeline inside jitted
-``lax.fori_loop``s of several lengths (input varied per iteration to
-defeat CSE) and takes the least-squares SLOPE of total-time vs loop
-length — fixed dispatch overhead of any size drops out.
+``lax.fori_loop``s of several lengths (input salted per iteration AND
+per dispatch to defeat CSE and relay memoization) and takes the
+Theil-Sen SLOPE of total-time vs loop length — fixed dispatch overhead
+of any size drops out.
 
-Baseline to beat: the reference's <15 ms design target on Jetson Orin DLA
-(BASELINE.md); vs_baseline = baseline_ms / value (>1 is better).
+Baseline to beat: the reference's <15 ms design target on Jetson Orin
+DLA (BASELINE.md); vs_baseline = baseline_ms / value (>1 is better).
 
-Prints exactly one JSON line.
+Prints exactly one JSON line (compact); full detail in the artifact.
 """
 from __future__ import annotations
 
 import dataclasses
 import itertools
 import json
+import os
 import time
 from pathlib import Path
 from typing import Any
 
 import jax
+
+_REPO = Path(__file__).resolve().parent
+# Persistent compilation cache: the second run of any engine skips its
+# compile entirely. This is what lets the driver's bench run (a fresh
+# process) finish inside its budget after the builder has run it once.
+try:
+    jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass  # older jax without these knobs: cache is an optimisation only
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -76,15 +91,14 @@ from unina_yolo_dla_tpu.ops.preprocess import ensure_normalized
 from unina_yolo_dla_tpu.quant.fake_quant import PERF_EXCLUDE, QuantSpec
 from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
 
-import os
-
 BASELINE_MS = 15.0
 LOOP_LENGTHS = (100, 300, 500, 700)
-N_ROUNDS = 5
 # The engine the committed default export ships (export --int8
 # --s2d-merged --fused-stem): the headline reports the product, not the
 # session's (possibly noise-favoured) fastest row.
 HEADLINE_ENGINE = "int8_s2dm_fs"
+FULL = bool(os.environ.get("UNINA_BENCH_FULL"))
+N_ROUNDS = 5 if FULL else 3
 # UNINA_BENCH_SMOKE=1: tiny config / short loops so the full bench code
 # path (all engines, interleaving, artifact round-trip) runs in CI on CPU;
 # numbers from smoke mode are meaningless
@@ -92,7 +106,19 @@ SMOKE = bool(os.environ.get("UNINA_BENCH_SMOKE"))
 if SMOKE:
     LOOP_LENGTHS = (4, 8)
     N_ROUNDS = 2
-ENGINE_SOURCE = Path(__file__).parent / "artifacts" / "engine_source.msgpack"
+ENGINE_SOURCE = _REPO / "artifacts" / "engine_source.msgpack"
+ARTIFACT = Path(os.environ.get("UNINA_BENCH_ARTIFACT",
+                               str(_REPO / "artifacts" / "bench_r5.json")))
+
+# Soft wall-clock budget: checked between phases and between rounds —
+# when it expires, the final line is emitted with whatever finished.
+BUDGET_S = float(os.environ.get("UNINA_BENCH_BUDGET_S", "540"))
+_T0 = time.monotonic()
+
+
+def time_left() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
 
 # Peak dense-matmul throughput per chip, FLOP/s (public spec sheets);
 # int8 engines count int8 MACs against the int8 peak.
@@ -102,6 +128,20 @@ PEAK_FLOPS = {
     "TPU v4": {"bf16": 275e12, "int8": 275e12},
     "TPU v6e": {"bf16": 918e12, "int8": 1836e12},
 }
+
+ENGINE_NOTES = """full-sweep engine glossary:
+  bf16_folded  BatchNorm folded (`export --fold-bn` graph)
+  bf16_s2dh    + host-blocked space-to-depth stem: stem is one MXU
+               matmul over (S/2,S/2,12) blocked frames
+  int8_fused   fused int8 chain (int8 MXU + int8 inter-layer
+               activations; quant/qtensor.py)
+  int8_s2dh    int8 chain + the host-s2d stem
+  *_s2dm       column-MERGED engines: same host bytes viewed
+               (S/2,S/4,24), stem matmul emits merged columns, stage1
+               is one fused Pallas VMEM pass (stage1_kernel.py)
+  *_s2dm_fs    + stem itself fused into that Pallas pass (DEFAULT)
+  *_fc         retired fused-subgraph engines (UNINA_BENCH_FC=1)
+  pallas_bf16  retired Pallas decode/NMS (UNINA_BENCH_PALLAS_OPS=1)"""
 
 
 def make_loop(serve, n: int):
@@ -149,7 +189,8 @@ def fit_slope(mins: dict[int, float]) -> tuple[float, float]:
 
 
 def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
-                        rng: np.random.Generator
+                        rng: np.random.Generator,
+                        flush=lambda **kw: None,
                         ) -> tuple[dict, dict, dict]:
     """Interleaved repeated A/B over all engines in one invocation.
 
@@ -158,10 +199,19 @@ def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
     measures every engine once (order shuffled per round); per engine the
     value is the median of per-round slope fits, the spread the IQR
     across rounds — the evidence standard VERDICT r2 set for the
-    int8-vs-bf16 ordering.
+    int8-vs-bf16 ordering. Budget-aware: compiles stop when <60 s remain
+    (keeping whatever engines are warm), rounds stop when <20 s remain;
+    ``flush`` is called with partial results after every round so a hard
+    kill still leaves evidence on disk.
     """
     loops, failed = {}, {}
     for name, (serve, v, frame) in engines.items():
+        if loops and time_left() < 60:
+            # keep at least one engine; further compiles don't fit
+            print(f"WARNING: budget: skipping compile of {name} "
+                  f"({time_left():.0f}s left)", flush=True)
+            failed[name] = None
+            continue
         try:
             ls = {n: make_loop(serve, n) for n in LOOP_LENGTHS}
             for loop in ls.values():      # compile + relay warm-up
@@ -172,8 +222,30 @@ def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
             failed[name] = None
             print(f"WARNING: engine {name} failed: {e}", flush=True)
 
+    def summarize(per_round):
+        medians, iqrs = {}, {}
+        for name, slopes in per_round.items():
+            # a slope <= 0 is physically impossible (negative per-frame
+            # latency) — it means the relay corrupted that round's timings
+            # beyond what Theil-Sen can absorb; exclude it rather than let
+            # garbage pull the median (seen: bf16 round fits of -0.9 ms)
+            good = [s for s in slopes if s > 0]
+            if not good:
+                medians[name] = None
+                iqrs[name] = None
+                continue
+            medians[name] = float(np.median(good))
+            q1, q3 = np.percentile(good, [25, 75])
+            iqrs[name] = float(q3 - q1)
+        return medians, iqrs
+
     per_round: dict[str, list[float]] = {k: [] for k in loops}
-    for _ in range(N_ROUNDS):
+    rounds_done = 0
+    for r in range(N_ROUNDS):
+        if rounds_done and time_left() < 20:
+            print(f"WARNING: budget: stopping after round {rounds_done}",
+                  flush=True)
+            break
         order = list(loops)
         rng.shuffle(order)
         for name in order:
@@ -185,21 +257,12 @@ def measure_interleaved(engines: dict[str, tuple[Any, Any, Any]],
                 float(loops[name][n](v, frame, salt))
                 mins[n] = time.perf_counter() - t0
             per_round[name].append(fit_slope(mins)[0])
+        rounds_done = r + 1
+        m, i = summarize(per_round)
+        flush(engines_ms=m, iqr_ms=i, per_round_ms=per_round,
+              rounds_done=rounds_done)
 
-    medians, iqrs = {}, {}
-    for name, slopes in per_round.items():
-        # a slope <= 0 is physically impossible (negative per-frame
-        # latency) — it means the relay corrupted that round's timings
-        # beyond what Theil-Sen can absorb; exclude it rather than let
-        # garbage pull the median (seen: bf16 round fits of -0.9 ms)
-        good = [s for s in slopes if s > 0]
-        if not good:
-            medians[name] = None
-            iqrs[name] = None
-            continue
-        medians[name] = float(np.median(good))
-        q1, q3 = np.percentile(good, [25, 75])
-        iqrs[name] = float(q3 - q1)
+    medians, iqrs = summarize(per_round)
     medians.update(failed)
     iqrs.update(failed)
     return medians, iqrs, {k: [round(s, 3) for s in v]
@@ -216,7 +279,7 @@ def measure_batch8_artifact(model, variables, cfg, tmpdir) -> dict | None:
         export_serving_artifact,
     )
 
-    committed = Path(__file__).parent / "artifacts" / "serving_artifact_b8"
+    committed = _REPO / "artifacts" / "serving_artifact_b8"
     try:
         if committed.exists():
             art, source = ServingArtifact(committed), "committed"
@@ -373,42 +436,25 @@ def build_int8_fused(cfg, variables, frame) -> tuple[Any, dict]:
     return model, int8_vars
 
 
-def main() -> None:
-    import tempfile
-
-    cfg = ModelConfig(num_classes=4, base_channels=32, input_size=640)
-    if SMOKE:
-        cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64)
-    s = cfg.input_size
-    variables, weights_source = load_source_variables(cfg)
-    rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.integers(0, 256, (s, s, 3), dtype=np.uint8))
-
-    # --- engines (all built from the same source checkpoint) ---
-    bf16_model = UninaYoloDla(dataclasses.replace(cfg, deploy=True))
-    bf16_vars = fold_batchnorm(
-        {k: variables[k] for k in ("params", "batch_stats")})
-    int8_model, int8_vars = build_int8_fused(cfg, variables, frame)
-
-    # space-to-depth stem variants, shuffle on the HOST (s2d_host): the
-    # artifact consumes blocked (S/2,S/2,12) frames and the stem is one
-    # MXU matmul — the round-3 on-device-s2d variants measured SLOWER
-    # than the standard stem (the shuffle costs more than the copies it
-    # removes, bench_r3_preview) and were retired; these replace them
+def build_engines(cfg, variables, frame, rng) -> dict:
+    """Engine table. Default: headline + bf16 comparator; FULL: all."""
     from unina_yolo_dla_tpu.ops.preprocess import space_to_depth_np
     from unina_yolo_dla_tpu.quant.deploy import (
         fold_downsample_space_to_depth,
         merge_stem_columns,
     )
 
+    bf16_model = UninaYoloDla(dataclasses.replace(cfg, deploy=True))
+    bf16_vars = fold_batchnorm(
+        {k: variables[k] for k in ("params", "batch_stats")})
+    int8_model, int8_vars = build_int8_fused(cfg, variables, frame)
+
     s2dh_cfg = dataclasses.replace(cfg, deploy=True, stem_s2d=True,
                                    s2d_host=True, stage1_s2d=True)
-    s2dh_bf16_model = UninaYoloDla(s2dh_cfg)
     s2dh_bf16_vars = fold_downsample_space_to_depth(
         fold_stem_space_to_depth(bf16_vars))
     s2dh_int8_cfg = dataclasses.replace(
         int8_model.config, stem_s2d=True, s2d_host=True, stage1_s2d=True)
-    s2dh_int8_model = UninaYoloDla(s2dh_int8_cfg)
     s2dh_int8_vars = fold_downsample_space_to_depth(
         fold_stem_space_to_depth(int8_vars))
     frame_s2d = jnp.asarray(space_to_depth_np(np.asarray(frame)))
@@ -417,10 +463,8 @@ def main() -> None:
     # (S/2,S/4,24); the stem matmul emits merged columns and stage1 is
     # the fused Pallas VMEM pass (ops/pallas/stage1_kernel.py)
     s2dm_cfg = dataclasses.replace(s2dh_cfg, s2d_merged=True)
-    s2dm_bf16_model = UninaYoloDla(s2dm_cfg)
     s2dm_bf16_vars = merge_stem_columns(s2dh_bf16_vars)
     s2dm_int8_cfg = dataclasses.replace(s2dh_int8_cfg, s2d_merged=True)
-    s2dm_int8_model = UninaYoloDla(s2dm_int8_cfg)
     s2dm_int8_vars = merge_stem_columns(s2dh_int8_vars)
     fs = np.asarray(frame_s2d)
     frame_s2dm = jnp.asarray(fs.reshape(fs.shape[0], fs.shape[1] // 2, 24))
@@ -432,26 +476,34 @@ def main() -> None:
     s2dm_fs_cfg = dataclasses.replace(s2dm_cfg, fused_stem=True)
     s2dm_fs_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_stem=True)
 
+    # order matters: the budget guard keeps a PREFIX of this dict, so the
+    # headline engine compiles first, its comparator second
     engines = {
-        "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars,
-                        frame),
-        "bf16_s2dh": (build_serving_fn(s2dh_bf16_model, s2dh_cfg),
-                      s2dh_bf16_vars, frame_s2d),
-        "bf16_s2dm": (build_serving_fn(s2dm_bf16_model, s2dm_cfg),
-                      s2dm_bf16_vars, frame_s2dm),
-        "int8_fused": (build_serving_fn(int8_model, cfg), int8_vars,
-                       frame),
-        "int8_s2dh": (build_serving_fn(s2dh_int8_model, s2dh_int8_cfg),
-                      s2dh_int8_vars, frame_s2d),
-        "int8_s2dm": (build_serving_fn(s2dm_int8_model, s2dm_int8_cfg),
-                      s2dm_int8_vars, frame_s2dm),
         "int8_s2dm_fs": (build_serving_fn(UninaYoloDla(s2dm_fs_int8_cfg),
                                           s2dm_fs_int8_cfg),
                          s2dm_int8_vars, frame_s2dm),
-        "bf16_s2dm_fs": (build_serving_fn(UninaYoloDla(s2dm_fs_cfg),
-                                          s2dm_fs_cfg),
-                         s2dm_bf16_vars, frame_s2dm),
+        "bf16_s2dm": (build_serving_fn(UninaYoloDla(s2dm_cfg), s2dm_cfg),
+                      s2dm_bf16_vars, frame_s2dm),
     }
+    if FULL or SMOKE:
+        engines.update({
+            "int8_s2dm": (build_serving_fn(UninaYoloDla(s2dm_int8_cfg),
+                                           s2dm_int8_cfg),
+                          s2dm_int8_vars, frame_s2dm),
+            "bf16_s2dm_fs": (build_serving_fn(UninaYoloDla(s2dm_fs_cfg),
+                                              s2dm_fs_cfg),
+                             s2dm_bf16_vars, frame_s2dm),
+            "int8_fused": (build_serving_fn(int8_model, cfg), int8_vars,
+                           frame),
+            "bf16_folded": (build_serving_fn(bf16_model, cfg), bf16_vars,
+                            frame),
+            "int8_s2dh": (build_serving_fn(
+                UninaYoloDla(s2dh_int8_cfg), s2dh_int8_cfg),
+                s2dh_int8_vars, frame_s2d),
+            "bf16_s2dh": (build_serving_fn(
+                UninaYoloDla(s2dh_cfg), s2dh_cfg),
+                s2dh_bf16_vars, frame_s2d),
+        })
     if os.environ.get("UNINA_BENCH_FC"):
         # fused-subgraph (_fc) engines: measured and retired in r4 —
         # every form LOSES end-to-end (artifacts/fcx_trace.json: bf16
@@ -474,10 +526,92 @@ def main() -> None:
         # code path drivable without paying ~2 min every driver run
         engines["pallas_bf16"] = (build_serving_fn(
             bf16_model, cfg, use_pallas_kernels=True), bf16_vars, frame)
-    results, iqrs, rounds = measure_interleaved(engines,
-                                               np.random.default_rng(7))
+    return engines, bf16_model, bf16_vars, int8_model, int8_vars
+
+
+def run_traces(engines, bf16_model, bf16_vars, rng, s) -> str | None:
+    """Profiler trace set (FULL mode only — ~6 extra compiles)."""
+    from unina_yolo_dla_tpu.utils.profiling import trace
+
+    trace_dir = None
+    for name, run_dir in (("bf16_folded", "runs/bench_trace"),
+                          ("int8_fused", "runs/bench_trace_int8"),
+                          ("bf16_s2dh", "runs/bench_trace_s2d"),
+                          ("int8_s2dm", "runs/bench_trace_s2dm"),
+                          ("int8_s2dm_fs", "runs/bench_trace_s2dm_fs")):
+        if name not in engines or time_left() < 40:
+            continue
+        serve, v, f = engines[name]
+        loop = make_loop(serve, 50)
+        with trace(run_dir) as d:
+            float(loop(v, f, next_salt()))
+        trace_dir = trace_dir or d
+    if time_left() > 60:
+        # batch-8 forward trace: the per-op bytes/flops behind the
+        # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
+        xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
+
+        @jax.jit
+        def loop8(v, xx, salt):
+            def it(i, acc):
+                outs = bf16_model.apply(v, xx + (i + salt) * 1e-6,
+                                        train=False)
+                return acc + sum(o.sum() for pr in outs for o in pr)
+            return lax.fori_loop(0, 10, it, jnp.float32(0.0))
+
+        float(loop8(bf16_vars, xb, next_salt()))
+        with trace("runs/bench_trace_b8") as _:
+            float(loop8(bf16_vars, xb, next_salt()))
+    return trace_dir
+
+
+def main() -> None:
+    import tempfile
+
+    cfg = ModelConfig(num_classes=4, base_channels=32, input_size=640)
+    if SMOKE:
+        cfg = ModelConfig(num_classes=4, base_channels=16, input_size=64)
+    s = cfg.input_size
+    variables, weights_source = load_source_variables(cfg)
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (s, s, 3), dtype=np.uint8))
+
+    detail: dict[str, Any] = {
+        "mode": "full" if FULL else ("smoke" if SMOKE else "default"),
+        "weights": weights_source, "budget_s": BUDGET_S,
+        "rounds": N_ROUNDS, "loop_lengths": list(LOOP_LENGTHS),
+        "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
+        "device": str(jax.devices()[0]),
+        "pipeline": "preprocess+forward+decode+fixpoint_greedy_nms",
+    }
+
+    def flush(**kw):
+        detail.update(kw)
+        detail["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        try:
+            ARTIFACT.parent.mkdir(parents=True, exist_ok=True)
+            ARTIFACT.write_text(json.dumps(detail, indent=1))
+        except Exception as e:
+            print(f"WARNING: artifact flush failed: {e}", flush=True)
+
+    flush()
+    engines, bf16_model, bf16_vars, int8_model, int8_vars = build_engines(
+        cfg, variables, frame, rng)
+    results, iqrs, rounds = measure_interleaved(
+        engines, np.random.default_rng(7), flush)
+    flush(engines_ms={k: (round(v, 3) if v else None)
+                      for k, v in results.items()},
+          iqr_ms={k: (round(v, 3) if v is not None else None)
+                  for k, v in iqrs.items()},
+          per_round_ms=rounds)
 
     ok = {k: v for k, v in results.items() if v is not None}
+    if not ok:
+        print(json.dumps({"metric": "frame_to_boxes_latency", "value": None,
+                          "unit": "ms", "vs_baseline": None,
+                          "extra": {"error": "no engine measured",
+                                    "detail": str(ARTIFACT)}}))
+        return
     fastest_name = min(ok, key=ok.get)
     # Headline = the engine the committed default export ships (see
     # module docstring); session-fastest is recorded alongside.
@@ -494,115 +628,86 @@ def main() -> None:
         return {"delta_ms": round(d, 3), "faster": a if d < 0 else b,
                 "significant": bool(sep)}
 
-    ab = pair_ab("int8_fused", "bf16_folded")
-    ab_s2d = pair_ab("int8_s2dh", "bf16_s2dh")
-    ab_stem = pair_ab("bf16_s2dh", "bf16_folded")
-    ab_merged = pair_ab("int8_s2dm", "int8_s2dh")
-    ab_fs = pair_ab("int8_s2dm_fs", "int8_s2dm")
-    ab_fc = pair_ab("int8_s2dm_fc", "int8_s2dm")
-
-    # --- throughput + MFU ---
-    fps8 = measure_throughput(bf16_model, bf16_vars, rng)
-    flops1 = forward_flops(bf16_model, bf16_vars, 1)
-    kind = jax.devices()[0].device_kind
-    peaks = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
-    mfu = {}
-    if flops1:
-        for name, dt in ok.items():
-            dtype = "int8" if "int8" in name else "bf16"
-            achieved = flops1 / (dt * 1e-3)
-            mfu[name] = {
-                "achieved_tflops": round(achieved / 1e12, 2),
-                "mfu_pct": (round(100 * achieved / peaks[dtype], 2)
-                            if peaks else None),
-            }
-        if fps8 == fps8:  # not NaN
-            achieved8 = flops1 * fps8
-            mfu["batch8_forward"] = {
-                "achieved_tflops": round(achieved8 / 1e12, 2),
-                "mfu_pct": (round(100 * achieved8 / peaks["bf16"], 2)
-                            if peaks else None),
-            }
+    flush(ab={"fs_vs_bf16_s2dm": pair_ab("int8_s2dm_fs", "bf16_s2dm"),
+              "int8_vs_bf16": pair_ab("int8_fused", "bf16_folded"),
+              "int8_vs_bf16_s2dh": pair_ab("int8_s2dh", "bf16_s2dh"),
+              "s2dh_vs_std_stem": pair_ab("bf16_s2dh", "bf16_folded"),
+              "s2dm_vs_s2dh_int8": pair_ab("int8_s2dm", "int8_s2dh"),
+              "fs_vs_s2dm_int8": pair_ab("int8_s2dm_fs", "int8_s2dm"),
+              "fc_vs_s2dm_int8": pair_ab("int8_s2dm_fc", "int8_s2dm")})
 
     # --- batch-8 serving through the exported artifact ---
-    with tempfile.TemporaryDirectory() as td:
-        b8 = measure_batch8_artifact(int8_model, int8_vars, cfg, td)
+    b8 = None
+    if time_left() > 45 or SMOKE:
+        with tempfile.TemporaryDirectory() as td:
+            b8 = measure_batch8_artifact(int8_model, int8_vars, cfg, td)
+        flush(batch8_artifact=b8)
 
-    # --- profiler trace artifact (tolerate relay/profiler unavailability) ---
+    # --- analytic FLOPs + MFU of the measured engines ---
+    mfu, flops1, fps8 = {}, None, float("nan")
+    if time_left() > 45 or SMOKE:
+        flops1 = forward_flops(bf16_model, bf16_vars, 1)
+        kind = jax.devices()[0].device_kind
+        peaks = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+        if flops1:
+            for name, dt in ok.items():
+                dtype = "int8" if "int8" in name else "bf16"
+                achieved = flops1 / (dt * 1e-3)
+                mfu[name] = {
+                    "achieved_tflops": round(achieved / 1e12, 2),
+                    "mfu_pct": (round(100 * achieved / peaks[dtype], 2)
+                                if peaks else None),
+                }
+        flush(forward_gflops_per_frame=(round(flops1 / 1e9, 2)
+                                        if flops1 else None), mfu=mfu)
+    if FULL and time_left() > 60:
+        # model-forward throughput ceiling (no decode/NMS), batch 8
+        fps8 = measure_throughput(bf16_model, bf16_vars, rng)
+        if flops1 and fps8 == fps8:
+            kind = jax.devices()[0].device_kind
+            peaks = next((v for k, v in PEAK_FLOPS.items() if k in kind),
+                         None)
+            mfu["batch8_forward"] = {
+                "achieved_tflops": round(flops1 * fps8 / 1e12, 2),
+                "mfu_pct": (round(100 * flops1 * fps8 / peaks["bf16"], 2)
+                            if peaks else None),
+            }
+        flush(batch8_forward_fps=(round(fps8, 0) if fps8 == fps8 else None),
+              mfu=mfu)
+
+    # --- profiler trace artifacts (FULL mode; tolerate unavailability) ---
     trace_dir = None
-    try:
-        from unina_yolo_dla_tpu.utils.profiling import trace
+    if FULL and time_left() > 60:
+        try:
+            trace_dir = run_traces(engines, bf16_model, bf16_vars, rng, s)
+        except Exception as e:
+            print(f"WARNING: profiler trace failed: {e}", flush=True)
+        flush(profiler_trace=trace_dir)
 
-        serve, v, f = engines["bf16_folded"]
-        loop = make_loop(serve, 50)
-        with trace("runs/bench_trace") as d:
-            float(loop(v, f, next_salt()))
-        serve_i, v_i, f_i = engines["int8_fused"]
-        loop_i = make_loop(serve_i, 50)
-        with trace("runs/bench_trace_int8") as _:
-            float(loop_i(v_i, f_i, next_salt()))
-        serve_s, v_s, f_s = engines["bf16_s2dh"]
-        loop_s = make_loop(serve_s, 50)
-        with trace("runs/bench_trace_s2d") as _:
-            float(loop_s(v_s, f_s, next_salt()))
-        serve_m, v_m, f_m = engines["int8_s2dm"]
-        loop_m = make_loop(serve_m, 50)
-        with trace("runs/bench_trace_s2dm") as _:
-            float(loop_m(v_m, f_m, next_salt()))
-        serve_fs, v_fs, f_fs = engines["int8_s2dm_fs"]
-        loop_fs = make_loop(serve_fs, 50)
-        with trace("runs/bench_trace_s2dm_fs") as _:
-            float(loop_fs(v_fs, f_fs, next_salt()))
-        # batch-8 forward trace: the per-op bytes/flops behind the
-        # "HBM-saturated past b8" claim (analyse with tools/layer_table.py)
-        xb = jnp.asarray(rng.normal(0, 1, (8, s, s, 3)).astype(np.float32))
-
-        @jax.jit
-        def loop8(v, xx, salt):
-            def it(i, acc):
-                outs = bf16_model.apply(v, xx + (i + salt) * 1e-6,
-                                        train=False)
-                return acc + sum(o.sum() for pr in outs for o in pr)
-            return lax.fori_loop(0, 10, it, jnp.float32(0.0))
-
-        float(loop8(bf16_vars, xb, next_salt()))
-        with trace("runs/bench_trace_b8") as _:
-            float(loop8(bf16_vars, xb, next_salt()))
-        trace_dir = d
-    except Exception as e:
-        print(f"WARNING: profiler trace failed: {e}", flush=True)
-
+    hl_mfu = mfu.get(best_name) or {}
+    flush(headline={"engine": best_name, "ms": round(value, 3)},
+          fastest_measured={"engine": fastest_name,
+                            "ms": round(ok[fastest_name], 3)})
+    # COMPACT final line (~400 bytes): the driver's tail capture truncated
+    # r3's kitchen-sink line; everything else lives in the artifact file.
     print(json.dumps({
         "metric": "frame_to_boxes_latency",
         "value": round(value, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / value, 3),
-        "extra": {"rounds": N_ROUNDS, "loop_lengths": list(LOOP_LENGTHS),
-                  "engine": best_name,
-                  "fastest_measured": {"engine": fastest_name,
-                                       "ms": round(ok[fastest_name], 3)},
-                  "weights": weights_source,
+        "extra": {"engine": best_name,
+                  "iqr_ms": (round(iqrs[best_name], 3)
+                             if iqrs.get(best_name) is not None else None),
                   "engines_ms": {k: (round(v, 3) if v else None)
                                  for k, v in results.items()},
-                  "iqr_ms": {k: (round(v, 3) if v is not None else None)
-                             for k, v in iqrs.items()},
-                  "per_round_ms": rounds,
-                  "int8_vs_bf16": ab,
-                  "int8_vs_bf16_s2dh": ab_s2d,
-                  "s2dh_vs_std_stem": ab_stem,
-                  "s2dm_vs_s2dh_int8": ab_merged,
-                  "fs_vs_s2dm_int8": ab_fs,
-                  "fc_vs_s2dm_int8": ab_fc,
-                  "baseline_ms": BASELINE_MS, "batch": 1, "input": s,
-                  "batch8_fps": round(fps8, 0),
-                  "batch8_artifact": b8,
-                  "forward_gflops_per_frame": (round(flops1 / 1e9, 2)
-                                               if flops1 else None),
-                  "mfu": mfu,
-                  "profiler_trace": trace_dir,
-                  "pipeline": "preprocess+forward+decode+"
-                              "fixpoint_greedy_nms",
-                  "device": str(jax.devices()[0])},
+                  "rounds": len(next(iter(rounds.values()), [])),
+                  "weights": weights_source,
+                  "batch8_artifact_fps": (b8 or {}).get("fps"),
+                  "mfu_pct": hl_mfu.get("mfu_pct"),
+                  "elapsed_s": round(time.monotonic() - _T0, 1),
+                  "detail": str(ARTIFACT.relative_to(_REPO)
+                                if ARTIFACT.is_relative_to(_REPO)
+                                else ARTIFACT)},
     }))
 
 

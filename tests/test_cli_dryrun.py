@@ -34,6 +34,7 @@ def test_two_phase_cli_dry_run(synth_yaml, tmp_path):
         "--imgsz", "64",
         "--base-channels", "16",
         "--calib-batches", "2",
+        "--calib-min-images", "0",
         "--calib-method", "max",
         "--calibrate-cp",
         "--export",

@@ -27,7 +27,8 @@ def int8_setup():
         for _ in range(3)
     ]
     qat_model, qat_vars = prepare_qat_variables(
-        model, variables, lambda: iter(batches), method="max", max_batches=3)
+        model, variables, lambda: iter(batches), method="max",
+        max_batches=3, min_images=0)
 
     deploy_vars = fold_batchnorm(qat_vars)
     spec = QuantSpec(mode="int8")

@@ -83,7 +83,7 @@ def test_calibration_and_handoff(fp32_setup):
     cfg, model, variables, batches = fp32_setup
     qat_model, qat_vars = prepare_qat_variables(
         model, variables, lambda: iter(batches), method="entropy",
-        max_batches=3)
+        max_batches=3, min_images=0)
     # params untouched (identity transfer)
     for a, b in zip(jax.tree.leaves(variables["params"]),
                     jax.tree.leaves(qat_vars["params"])):
@@ -108,7 +108,8 @@ def test_calibration_and_handoff(fp32_setup):
 def test_excluded_layers_not_quantized(fp32_setup):
     cfg, model, variables, batches = fp32_setup
     qat_model, qat_vars = prepare_qat_variables(
-        model, variables, lambda: iter(batches), method="max", max_batches=2)
+        model, variables, lambda: iter(batches), method="max",
+        max_batches=2, min_images=0)
     paths = ["/".join(str(getattr(k, "key", k)) for k in p)
              for p, _ in jax.tree_util.tree_flatten_with_path(
                  qat_vars["quant"])[0]]
@@ -124,7 +125,8 @@ def test_excluded_layers_not_quantized(fp32_setup):
 def test_calibration_cache_roundtrip(fp32_setup, tmp_path):
     cfg, model, variables, batches = fp32_setup
     _, qat_vars = prepare_qat_variables(
-        model, variables, lambda: iter(batches), method="max", max_batches=2)
+        model, variables, lambda: iter(batches), method="max",
+        max_batches=2, min_images=0)
     cache = tmp_path / "calibration.cache"
     save_calibration_cache(qat_vars["quant"], cache)
     loaded = load_calibration_cache(cache)
@@ -137,7 +139,8 @@ def test_calibration_cache_roundtrip(fp32_setup, tmp_path):
 def test_qat_train_step_runs_and_learns(fp32_setup):
     cfg, model, variables, batches = fp32_setup
     qat_model, qat_vars = prepare_qat_variables(
-        model, variables, lambda: iter(batches), method="max", max_batches=2)
+        model, variables, lambda: iter(batches), method="max",
+        max_batches=2, min_images=0)
 
     # QAT recipe shape: low LR, no warmup, EMA off (train.py:848-873);
     # LR raised here so the un-trained toy model visibly learns in 20 steps

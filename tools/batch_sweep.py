@@ -43,10 +43,15 @@ LOOPS = (10, 30, 50)
 
 
 def make_loop(serve, n):
+    # mirrors bench.make_loop: the per-call salt makes every dispatch's
+    # args unique so the caching relay cannot memoize repeated timed
+    # calls (ADVICE r4: the unsalted sweep showed the corruption
+    # signature — b1 slope 0.005 ms, negative slopes, b8 38% below the
+    # salted shipped number)
     @jax.jit
-    def loop(v, frames):
+    def loop(v, frames, salt):
         def body(i, acc):
-            f = frames ^ (i % 7).astype(jnp.uint8)
+            f = frames ^ ((i + salt) % 7).astype(jnp.uint8)
             d = serve(v, f)
             return acc + d.scores.sum() + d.valid.sum()
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
@@ -79,7 +84,8 @@ def main():
     for b in BATCHES:
         ls = {n: make_loop(serve, n) for n in LOOPS}
         for l in ls.values():
-            float(l(fvars, frames[b])); float(l(fvars, frames[b]))
+            float(l(fvars, frames[b], bench.next_salt()))
+            float(l(fvars, frames[b], bench.next_salt()))
         loops[b] = ls
 
     per_round = {b: [] for b in BATCHES}
@@ -90,8 +96,9 @@ def main():
         for b in order:
             mins = {}
             for n in LOOPS:
+                salt = bench.next_salt()
                 t0 = time.perf_counter()
-                float(loops[b][n](fvars, frames[b]))
+                float(loops[b][n](fvars, frames[b], salt))
                 mins[n] = time.perf_counter() - t0
             per_round[b].append(bench.fit_slope(mins)[0])
 
@@ -106,7 +113,11 @@ def main():
             "fps": round(b / (med * 1e-3), 0) if med else None,
             "ms_per_frame": round(med / b, 3) if med else None,
             "per_round": [round(x, 3) for x in slopes]}
+    path = pathlib.Path(__file__).resolve().parents[1] / "artifacts" / \
+        "batch_sweep_r5.json"
+    path.write_text(json.dumps(out))
     print(json.dumps(out))
+    print(f"wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

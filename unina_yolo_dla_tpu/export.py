@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 
 import jax
+import numpy as np
 
 import dataclasses
 
@@ -104,6 +105,10 @@ def main(argv=None) -> None:
                         "int32 MXU accumulation, mixed-precision per the "
                         "measured v5e exclusion list); requires a "
                         "calibrated (QAT) checkpoint and implies --fold-bn")
+    p.add_argument("--calib-min-images", type=int, default=50,
+                   help="with --int8: refuse checkpoints calibrated on "
+                        "fewer images (export_trt.py:547-551 parity); "
+                        "0 disables for deliberate smoke exports")
     p.add_argument("--int8-unfused", action="store_true",
                    help="with --int8: round-1 engine (dequant to bf16 "
                         "between layers) instead of the fused chain")
@@ -135,6 +140,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     variables = load_msgpack_raw(args.weights)
+    # calibration provenance stamped by the train CLI (train.py phase 2);
+    # popped before any model transform sees the tree
+    calib_meta = variables.pop("calib_meta", None)
     quantized = "quant" in variables
     cfg = ModelConfig(num_classes=args.num_classes,
                       base_channels=args.base_channels,
@@ -143,6 +151,16 @@ def main(argv=None) -> None:
         raise SystemExit("--int8 requires a calibrated checkpoint "
                          "(quant collection with activation amax; run "
                          "phase-2 QAT or prepare_qat_variables first)")
+    if args.int8 and calib_meta is not None:
+        n_calib = int(np.asarray(calib_meta["images"]))
+        if n_calib < args.calib_min_images:
+            raise SystemExit(
+                f"--int8 refused: checkpoint was calibrated on only "
+                f"{n_calib} images (>= {args.calib_min_images} required; "
+                "parity: export_trt.py:547-551 — short calibration data "
+                "exports a confidently-wrong engine). Re-calibrate with "
+                "more data or pass --calib-min-images 0 for a deliberate "
+                "smoke export.")
     if args.s2d_merged:
         args.stem_s2d_host = True
     if (args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host

@@ -113,13 +113,16 @@ class ModelConfig:
     # in downstream convs. Fuse where bytes dominate, nowhere else.
     fused_only: tuple[str, ...] | None = None
     # One Pallas VMEM pass for stem+stage1 over the merged frame
-    # (ops/pallas/stem_kernel.py; requires s2d_merged). BATCHED-regime
-    # engine: at b8 the XLA stem lowering materialises its shifted-slice
-    # patches through HBM (1.08 ms/batch of pad fusions, artifacts/
-    # b8_trace.json) and the kernel replaces stem+stage1's 1.71 ms with
-    # ~1.05 ms; at batch 1 the XLA stem fuses fine (90 us chain) and the
-    # kernel LOSES (~0.20 ms — the CM=24 input lanes waste the MXU), so
-    # the batch-1 default export keeps the standard chain.
+    # (ops/pallas/stem_kernel.py; requires s2d_merged). Wins BOTH
+    # regimes on v5e and ships in the DEFAULT export (artifacts/
+    # serving_artifact/config.json has fused_stem: true): at b8 the XLA
+    # stem lowering materialises its shifted-slice patches through HBM
+    # (1.08 ms/batch of pad fusions, artifacts/b8_trace.json) and the
+    # kernel replaces stem+stage1's 1.71 ms with ~1.05 ms; at batch 1
+    # the r4 salted A/B (artifacts/bench_r4_salted.json: 0.641 vs 0.724
+    # ms) reversed the earlier read that the kernel lost there — the
+    # on-chip chain is 90 us either way and the measured end-to-end
+    # median favours the fused form.
     fused_stem: bool = False
 
     def with_quant(self, mode: str, **kw) -> "ModelConfig":

@@ -35,23 +35,29 @@ def _run_calib_pass(
     variables: dict[str, Any],
     batches: Iterable[Any],
     max_batches: int,
-) -> dict[str, Any]:
-    """Run eval-mode forwards with mutable quant_calib, carrying state."""
+    count_fn: Callable[[Any], int] | None = None,
+) -> tuple[dict[str, Any], int]:
+    """Run eval-mode forwards with mutable quant_calib, carrying state.
+
+    Returns (calib collection, total images seen)."""
     calib = variables.get("quant_calib", {})
     n = 0
+    n_images = 0
     for batch in batches:
         v = dict(variables)
         v["quant_calib"] = calib
         _, mutated = apply_fn(v, batch)
         calib = mutated["quant_calib"]
         n += 1
+        if count_fn is not None:
+            n_images += count_fn(batch)
         if n >= max_batches:
             break
     if n == 0:
         raise ValueError("calibration requires at least one batch "
                          "(parity: export_trt.py:155-157 hard-fails on "
                          "empty calibration data)")
-    return calib
+    return calib, n_images
 
 
 def entropy_amax(hist: np.ndarray, upper: float,
@@ -161,6 +167,7 @@ def calibrate(
     get_images: Callable[[Any], Any] = lambda b: b["images"],
     method: str = "entropy",
     max_batches: int = 30,
+    min_images: int = 50,
 ) -> dict[str, Any]:
     """Full two-pass calibration. Returns a ``quant`` collection.
 
@@ -168,6 +175,12 @@ def calibrate(
     switchable — pass the calib_max model; a calib_hist twin is derived
     from its config. ``max_batches`` defaults to 30
     (train.py:809 lightweight-calibration parity).
+
+    ``min_images`` is a hard floor on total calibration images: the
+    reference refuses to build an int8 engine from short calibration
+    data (export_trt.py:547-551, >=50 images — the "silent wrongness"
+    class: a 2-image calibration exports a confidently-wrong engine).
+    Pass 0 only in unit tests / deliberate smoke runs.
     """
     from ..models.detector import UninaYoloDla  # deferred: circular import
 
@@ -183,15 +196,27 @@ def calibrate(
 
     base = {k: v for k, v in variables.items() if k != "quant_calib"}
 
+    def count(batch) -> int:
+        return int(np.shape(get_images(batch))[0])
+
     # pass 1: running amax
-    calib1 = _run_calib_pass(apply(m_max), base, batches_fn(), max_batches)
+    calib1, n_images = _run_calib_pass(apply(m_max), base, batches_fn(),
+                                       max_batches, count)
+    if n_images < min_images:
+        raise ValueError(
+            f"calibration saw only {n_images} images; >= {min_images} "
+            "required for a trustworthy int8 engine (parity: "
+            "export_trt.py:547-551 hard-fails short calibration data). "
+            "Add data / raise --calib-batches, or pass min_images=0 "
+            "(--calib-min-images 0) for a deliberate smoke run.")
     if method == "max":
         return select_amax(calib1, method="max")
 
     # pass 2: histogram over [0, amax] (entropy / percentile only)
     v2 = dict(base)
     v2["quant_calib"] = calib1
-    calib2 = _run_calib_pass(apply(m_hist), v2, batches_fn(), max_batches)
+    calib2, _ = _run_calib_pass(apply(m_hist), v2, batches_fn(),
+                                max_batches)
 
     return select_amax(calib2, method=method)
 

@@ -36,6 +36,7 @@ def prepare_qat_variables(
     max_batches: int = 30,
     exclude: tuple[str, ...] = DEFAULT_EXCLUDE,
     num_bits: int = 8,
+    min_images: int = 50,
 ):
     """FP32 (model, variables) -> (qat_model, qat_variables).
 
@@ -53,7 +54,8 @@ def prepare_qat_variables(
                                num_bits=num_bits)
     calib_model = UninaYoloDla(calib_cfg)
     quant_tree = calibrate(calib_model, fp32_variables, batches_fn,
-                           method=method, max_batches=max_batches)
+                           method=method, max_batches=max_batches,
+                           min_images=min_images)
     qat_model = make_qat_model(cfg, exclude=exclude, num_bits=num_bits)
     qat_variables = dict(fp32_variables)
     qat_variables["quant"] = quant_tree

@@ -13,7 +13,10 @@
 // frame, execute, four device->host reads (boxes/scores/classes/valid,
 // ~26 KB at K=1024), pack valid rows as unina::Detection. BGRA and NV12
 // frames are converted to RGB on the host first (the same conversions
-// embed.py applies; the on-chip camera-path artifact is the next step).
+// embed.py applies). For raw camera streams, `export --camera HxW
+// --format bgra|nv12` ships the on-chip convert+letterbox path instead
+// (shipped in r3; runtime/pipeline.py:151-197) — this host conversion
+// remains for pre-converted RGB deployments.
 #include "executor_pjrt.h"
 
 #include <dlfcn.h>

@@ -89,6 +89,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--calib-batches", type=int, default=30)
     p.add_argument("--calib-method", default="max",
                    choices=("entropy", "max", "percentile"))
+    p.add_argument("--calib-min-images", type=int, default=50,
+                   help="hard floor on total calibration images (parity: "
+                        "export_trt.py:547-551 refuses short calibration "
+                        "data); 0 only for deliberate smoke runs")
     p.add_argument("--max-boxes", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -163,12 +167,17 @@ def main(argv=None) -> dict:
 
         qat_model, qat_vars = prepare_qat_variables(
             model, variables, calib_batches,
-            method=args.calib_method, max_batches=args.calib_batches)
+            method=args.calib_method, max_batches=args.calib_batches,
+            min_images=args.calib_min_images)
+        # stamped into every quantised checkpoint so export --int8 can
+        # re-verify calibration sufficiency offline (export.py guard)
+        calib_meta = {"images": int(args.calib_batches * args.batch)}
         if main_proc:
             save_calibration_cache(qat_vars["quant"],
                                    out_dir / "calibration.cache")
             # the qat_init_calibrated.pt analogue: full calibrated variables
-            save_msgpack(qat_vars, out_dir / "qat_init_calibrated.msgpack")
+            save_msgpack(dict(qat_vars, calib_meta=calib_meta),
+                         out_dir / "qat_init_calibrated.msgpack")
 
         # QAT recipe: lr0=1e-3, no warmup, EMA off, augment off
         tc_qat = TrainConfig(lr0=1e-3, warmup_steps=1,
@@ -183,7 +192,8 @@ def main(argv=None) -> dict:
         qat_best = dict(res.best_variables)
         qat_best["quant"] = qat_vars["quant"]
         if main_proc:
-            save_msgpack(qat_best, out_dir / "qat" / "best.msgpack")
+            save_msgpack(dict(qat_best, calib_meta=calib_meta),
+                         out_dir / "qat" / "best.msgpack")
             print(f">>> Phase 2 complete: {res.metrics}")
         results["qat"] = res.metrics
         model, variables = qat_model, qat_best
