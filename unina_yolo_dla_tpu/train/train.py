@@ -37,6 +37,14 @@ def build_argparser() -> argparse.ArgumentParser:
         description="UNINA-YOLO-DLA-TPU two-phase training")
     p.add_argument("--data", required=True, help="dataset YAML")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--fp32-ft-epochs", type=int, default=0,
+                   help="optional phase 1.5: FP32 fine-tune with the "
+                        "EXACT phase-2 recipe (lr 1e-3, no warmup, EMA "
+                        "off, augment off) but no quantisation — the "
+                        "epoch-matched FP32 baseline for the int8-vs-"
+                        "FP32 acceptance delta (without it the QAT "
+                        "phase's extra no-augment epochs flatter the "
+                        "quantised engine; VERDICT r4 weak #3)")
     p.add_argument("--qat-epochs", type=int, default=10)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--imgsz", type=int, default=640)
@@ -153,6 +161,24 @@ def main(argv=None) -> dict:
             save_msgpack(variables, out_dir / "fp32" / "best.msgpack")
             print(f">>> Phase 1 complete: {res.metrics}")
         results["fp32"] = res.metrics
+
+    # ---------- Phase 1.5: epoch-matched FP32 fine-tune ----------
+    if args.fp32_ft_epochs:
+        print(f">>> Phase 1.5: FP32 fine-tune ({args.fp32_ft_epochs} "
+              "epochs, QAT recipe minus quantisation)")
+        tc_ft = TrainConfig(lr0=1e-3, warmup_steps=1,
+                            batch_size=args.batch,
+                            optimizer=args.optimizer, use_ema=False)
+        res = fit(model, variables, train_ds, val_ds, tc_ft,
+                  epochs=args.fp32_ft_epochs,
+                  output_dir=out_dir / "fp32_ft", augment=False,
+                  n_devices=args.devices, seed=args.seed,
+                  resume=args.resume)
+        variables = res.best_variables
+        if main_proc:
+            save_msgpack(variables, out_dir / "fp32_ft" / "best.msgpack")
+            print(f">>> Phase 1.5 complete: {res.metrics}")
+        results["fp32_ft"] = res.metrics
 
     # ---------- Phase 2: QAT ----------
     if not args.skip_qat:
