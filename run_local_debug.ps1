@@ -1,0 +1,78 @@
+# Local dry run on the CPU backend (PowerShell twin of run_local_debug.sh;
+# reference role: run_local_debug.ps1): generate a deterministic synthetic
+# dataset, run 2 FP32 epochs + 1 QAT epoch at reduced resolution, calibrate
+# conformal prediction, export the AOT artifact, and serve a frame through
+# it. Success = the whole pipeline completes and the artifact serves.
+param(
+    [string]$Work = "$env:TEMP\unina_dryrun",
+    [int]$ImgSize = 128
+)
+
+$ErrorActionPreference = "Stop"
+Set-Location (Split-Path -Parent $MyInvocation.MyCommand.Path)
+$env:JAX_PLATFORMS = "cpu"
+$env:UNINA_FORCE_CPU = "1"
+
+Write-Host ">>> [1/4] generating synthetic FSD dataset"
+python -m unina_yolo_dla_tpu.data.synthetic `
+    --output "$Work\synth" --num-train 16 --num-val 8 `
+    --image-size $ImgSize --seed 42
+if ($LASTEXITCODE -ne 0) { exit 1 }
+
+Write-Host ">>> [2/4] two-phase training (FP32 -> QAT) on CPU"
+@"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from unina_yolo_dla_tpu.train.train import main
+main([
+    "--data", r"$Work\synth\fsd_synth.yaml",
+    "--epochs", "2", "--qat-epochs", "1",
+    "--batch", "4", "--imgsz", "$ImgSize", "--base-channels", "16",
+    "--calib-batches", "2", "--calib-min-images", "0",
+    "--calib-method", "entropy",
+    "--calibrate-cp", "--export",
+    "--output-dir", r"$Work\runs", "--max-boxes", "32",
+])
+"@ | python -
+if ($LASTEXITCODE -ne 0) { exit 1 }
+
+Write-Host ">>> [3/4] standalone eval of the QAT checkpoint"
+@"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from unina_yolo_dla_tpu.data.dataset import (
+    YoloDataset, batch_iterator, load_dataset_yaml)
+from unina_yolo_dla_tpu.evaluate import evaluate_model
+from unina_yolo_dla_tpu.models.config import ModelConfig
+from unina_yolo_dla_tpu.quant.qat import make_qat_model
+from unina_yolo_dla_tpu.utils.checkpoint import load_msgpack_raw
+
+spec = load_dataset_yaml(r"$Work\synth\fsd_synth.yaml")
+ds = YoloDataset(spec["val"], img_size=$ImgSize, max_boxes=32)
+variables = load_msgpack_raw(r"$Work\runs\qat\best.msgpack")
+model = make_qat_model(ModelConfig(num_classes=4, base_channels=16,
+                                   input_size=$ImgSize))
+res = evaluate_model(model, variables,
+                     lambda: batch_iterator(ds, 4, np.random.default_rng(0),
+                                            shuffle=False))
+print({k: round(v, 4) for k, v in res.items() if isinstance(v, float)})
+"@ | python -
+if ($LASTEXITCODE -ne 0) { exit 1 }
+
+Write-Host ">>> [4/4] serving one frame through the exported artifact"
+@"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from unina_yolo_dla_tpu.runtime.serving import PerceptionServer
+srv = PerceptionServer(r"$Work\runs\serving_artifact",
+                       expected_input=$ImgSize, expected_classes=4)
+srv.configure(); srv.activate()
+out = srv.process_frame(np.zeros(($ImgSize, $ImgSize, 3), np.uint8))
+assert out is not None
+print("served:", out["count"], "detections;", srv.stats())
+"@ | python -
+if ($LASTEXITCODE -ne 0) { exit 1 }
+
+Write-Host ">>> dry run complete"
