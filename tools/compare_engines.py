@@ -56,6 +56,15 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--fp32", required=True, help="phase-1 best.msgpack")
+    p.add_argument("--fp32-ft", default=None,
+                   help="phase-1.5 epoch-matched FP32 fine-tune "
+                        "best.msgpack (train --fp32-ft-epochs). When "
+                        "given, an fp32_ft row is evaluated and all "
+                        "acceptance deltas (clean AND corruption) are "
+                        "computed against it — VERDICT r4 #3: the QAT "
+                        "phase's extra no-augment epochs alone add "
+                        "~8 mAP50-95 pts, so deltas vs the phase-1 "
+                        "best flatter quantisation")
     p.add_argument("--qat", required=True,
                    help="phase-2 best.msgpack (params + quant)")
     p.add_argument("--base-channels", type=int, default=32)
@@ -91,6 +100,8 @@ def main() -> None:
 
     engines = {
         "fp32": (UninaYoloDla(cfg), fp32_vars),
+        **({"fp32_ft": (UninaYoloDla(cfg), load_msgpack_raw(args.fp32_ft))}
+           if args.fp32_ft else {}),
         "qat_sim": (UninaYoloDla(cfg.with_quant("quantize")), qat_vars),
         "int8_unfused": (
             UninaYoloDla(dataclasses.replace(
@@ -113,11 +124,17 @@ def main() -> None:
         print(f"{name:14s} " + " ".join(
             f"{k}={results[name][k]:.4f}" for k in COLS), flush=True)
 
-    base = results["fp32"]["map50_95"]
+    # acceptance baseline: the epoch-matched fine-tuned FP32 when given
+    base_name = "fp32_ft" if args.fp32_ft else "fp32"
+    base = results[base_name]["map50_95"]
+    base_f1 = results[base_name]["small_object_f1"]
+    results["acceptance_baseline"] = base_name
     for name in ("qat_sim", "int8_unfused", "int8_fused"):
         delta = (results[name]["map50_95"] - base) * 100
         results[name]["delta_map50_95_pts"] = round(delta, 2)
-        print(f"{name}: mAP50-95 delta vs fp32 = {delta:+.2f} pts")
+        results[name]["delta_small_f1_pts"] = round(
+            (results[name]["small_object_f1"] - base_f1) * 100, 2)
+        print(f"{name}: mAP50-95 delta vs {base_name} = {delta:+.2f} pts")
 
     if args.corruptions:
         from unina_yolo_dla_tpu.data.corruptions import (
@@ -136,7 +153,7 @@ def main() -> None:
         results["corruptions"] = {}
         for cname, sev in conditions:
             row = {}
-            for ename in ("fp32", "int8_fused"):
+            for ename in (base_name, "int8_fused"):
                 model, variables = engines[ename]
                 m = evaluate_model(
                     model, variables,
@@ -146,17 +163,17 @@ def main() -> None:
                               for k in COLS}
             row["delta_map50_95_pts"] = round(
                 (row["int8_fused"]["map50_95"]
-                 - row["fp32"]["map50_95"]) * 100, 2)
+                 - row[base_name]["map50_95"]) * 100, 2)
             row["delta_small_f1_pts"] = round(
                 (row["int8_fused"]["small_object_f1"]
-                 - row["fp32"]["small_object_f1"]) * 100, 2)
+                 - row[base_name]["small_object_f1"]) * 100, 2)
             results["corruptions"][f"{cname}:{sev}"] = row
-            print(f"[{cname}:{sev}] fp32 mAP50-95="
-                  f"{row['fp32']['map50_95']:.4f} "
-                  f"small_f1={row['fp32']['small_object_f1']:.4f} | "
+            print(f"[{cname}:{sev}] {base_name} mAP50-95="
+                  f"{row[base_name]['map50_95']:.4f} "
+                  f"small_f1={row[base_name]['small_object_f1']:.4f} | "
                   f"int8 mAP50-95={row['int8_fused']['map50_95']:.4f} "
                   f"small_f1={row['int8_fused']['small_object_f1']:.4f} | "
-                  f"int8-fp32 = {row['delta_map50_95_pts']:+.2f} / "
+                  f"int8-{base_name} = {row['delta_map50_95_pts']:+.2f} / "
                   f"{row['delta_small_f1_pts']:+.2f} pts", flush=True)
 
     if args.json:
