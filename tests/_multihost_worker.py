@@ -41,6 +41,8 @@ def main() -> None:
         "--imgsz", "64",
         "--base-channels", "16",
         "--calib-batches", "2",
+        "--calib-min-images", "0",  # deliberate smoke run: 8 images is
+                                    # below the 50-image sufficiency floor
         "--calib-method", "max",
         "--max-boxes", "16",
         "--output-dir", out_dir,

@@ -95,6 +95,12 @@ def main(argv=None) -> None:
                         "VMEM pass (ops/pallas/head_kernel.py); head_p2 "
                         "(always bf16) is ~14%% of r3 device time. "
                         "Implies --fold-bn")
+    p.add_argument("--merged-head", action="store_true",
+                   help="merge each float-path head level's cls/reg "
+                        "branches into full-MXU-lane convs (channel-"
+                        "concat conv1, block-diagonal conv2/pred — same "
+                        "math, activations read once; models/head.py "
+                        "_merged). Implies --fold-bn")
     p.add_argument("--fold-bn", action="store_true",
                    help="fold BatchNorm into conv weights (TensorRT-style "
                         "graph optimisation; drops batch_stats from the "
@@ -164,7 +170,8 @@ def main(argv=None) -> None:
     if args.s2d_merged:
         args.stem_s2d_host = True
     if (args.fold_bn or args.int8 or args.stem_s2d or args.stem_s2d_host
-            or args.stage1_s2d or args.fused_c3k2 or args.fused_head):
+            or args.stage1_s2d or args.fused_c3k2 or args.fused_head
+            or args.merged_head):
         variables = fold_batchnorm(variables)
         cfg = dataclasses.replace(cfg, deploy=True)
         print(">>> BatchNorm folded into conv weights")
@@ -206,6 +213,10 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, fused_head=True)
         print(">>> decoupled heads fused: six convs per level in one "
               "VMEM pass (float-path levels)")
+    if args.merged_head:
+        cfg = dataclasses.replace(cfg, merged_head=True)
+        print(">>> decoupled heads merged: cls/reg branches as full-lane "
+              "channel-concat/block-diagonal convs (float-path levels)")
     if args.int8:
         if not args.int8_unfused:
             flat = jax.tree_util.tree_flatten_with_path(

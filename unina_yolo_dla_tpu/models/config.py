@@ -91,6 +91,23 @@ class ModelConfig:
     # device time across six dispatch/bandwidth-bound fusions; quantized
     # head levels (p3/p4 in the int8 engine) keep the standard path.
     fused_head: bool = False
+    # MERGED decoupled head (deploy graphs, float-path levels only): the
+    # cls and reg branches read the SAME input, so their convs merge
+    # exactly — conv1 concatenates output channels (N 64 -> 128, filling
+    # the MXU's 128 lanes instead of half), conv2 and the 1x1 preds
+    # become block-diagonal over the doubled channel dim (the zero
+    # blocks contribute exact zeros — outputs match to accumulation-
+    # order rounding, ~5e-7 measured — while
+    # two half-lane convs become one full-lane pass), and the input/
+    # intermediate activations are read ONCE instead of twice. Pure XLA
+    # restructuring — no Pallas. The param tree is unchanged (merging
+    # happens on the fly; with baked weights it constant-folds at
+    # compile). head_p2 alone is 17.5% of the deployed engine's b1
+    # device time (artifacts/layer_table_s2dm.json), its branches at
+    # N=64 half-lane occupancy. Quantized head levels (p3/p4 in the
+    # int8 engine) keep the standard path: their branch outputs carry
+    # separate out_q scales that a merged tensor cannot represent.
+    merged_head: bool = False
     # which implementation carries the fused C3k2/head subgraphs on TPU:
     # "pallas" = the per-platform primitive (one VMEM pass via
     # ops/pallas/{c3k2,head}_kernel.py on tpu, XLA form elsewhere);

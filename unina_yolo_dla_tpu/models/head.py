@@ -38,6 +38,9 @@ class DetectionHead(nn.Module):
         spec = cfg.quant
         quant_active = (spec is not None and spec.mode != "off"
                         and not spec.excluded("/".join(self.scope.path)))
+        if getattr(cfg, "merged_head", False) and cfg.deploy \
+                and not quant_active:
+            return self._merged(x, cfg, hidden)
         fuse_on = cfg.fused_head and (cfg.fused_only is None
                                       or self.name in cfg.fused_only)
         if fuse_on and cfg.deploy and not quant_active:
@@ -86,3 +89,68 @@ class DetectionHead(nn.Module):
 
         # Logits in float32 for numerically stable loss/decode.
         return cls.astype(jnp.float32), reg.astype(jnp.float32)
+
+    def _merged(self, x: jnp.ndarray, cfg: ModelConfig, hidden: int):
+        """Branch-merged deploy form (``cfg.merged_head``): exact math.
+
+        The decoupled branches share their input, so
+        ``conv(x,Wc) || conv(x,Wr) == conv(x, Wc||Wr)`` (channel concat)
+        and the per-branch follow-ups are a block-diagonal conv over the
+        doubled channel dim — two half-lane (N=64) MXU passes become one
+        full-lane (N=128) pass and every activation is read once.
+        Outputs match the standard head to accumulation-order rounding
+        (~5e-7 on f32 logits; the zero blocks add exact zeros but a
+        K=2h reduction tree may round differently than K=h). The
+        param tree is IDENTICAL to the standard head (merge happens in
+        the forward; baked-weight exports constant-fold it), so any
+        folded checkpoint loads either way. Float-path levels only —
+        quantized branches carry per-branch out_q scales a merged tensor
+        cannot represent (config.py merged_head note).
+        """
+        import jax
+
+        from ..quant.qtensor import QTensor
+        from .blocks import _DeployConvHolder, _DeployConvParams
+
+        if isinstance(x, QTensor):
+            x = x.dequant(cfg.compute_dtype)
+        h = hidden
+        nc = cfg.num_classes * cfg.num_anchors
+        nr = 4 * cfg.num_anchors
+        ck1, cb1 = _DeployConvHolder((3, 3, h, h), name="cls_conv1")()
+        ck2, cb2 = _DeployConvHolder((3, 3, h, h), name="cls_conv2")()
+        ckp, cbp = _DeployConvParams(
+            (1, 1, h, nc), bias_init=nn.initializers.constant(CLS_BIAS_INIT),
+            name="cls_pred")()
+        rk1, rb1 = _DeployConvHolder((3, 3, h, h), name="reg_conv1")()
+        rk2, rb2 = _DeployConvHolder((3, 3, h, h), name="reg_conv2")()
+        rkp, rbp = _DeployConvParams((1, 1, h, nr), name="reg_pred")()
+
+        z33 = jnp.zeros((3, 3, h, h), jnp.float32)
+        k1 = jnp.concatenate([ck1, rk1], axis=-1)              # (3,3,h,2h)
+        b1 = jnp.concatenate([cb1, rb1])
+        k2 = jnp.concatenate([                                 # (3,3,2h,2h)
+            jnp.concatenate([ck2, z33], axis=-1),
+            jnp.concatenate([z33, rk2], axis=-1)], axis=2)
+        b2 = jnp.concatenate([cb2, rb2])
+        kp = jnp.concatenate([                                 # (1,1,2h,nc+4)
+            jnp.concatenate([ckp, jnp.zeros((1, 1, h, nr), jnp.float32)],
+                            axis=-1),
+            jnp.concatenate([jnp.zeros((1, 1, h, nc), jnp.float32), rkp],
+                            axis=-1)], axis=2)
+        bp = jnp.concatenate([cbp, rbp])
+
+        dt = cfg.compute_dtype
+
+        def conv(v, k, pad):
+            return jax.lax.conv_general_dilated(
+                v, k.astype(dt), window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt)
+
+        y = nn.relu(conv(x.astype(dt), k1, 1) + b1.astype(dt))
+        y = nn.relu(conv(y, k2, 1) + b2.astype(dt))
+        y = conv(y, kp, 0) + bp.astype(dt)
+        return (y[..., :nc].astype(jnp.float32),
+                y[..., nc:].astype(jnp.float32))

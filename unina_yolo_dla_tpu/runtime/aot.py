@@ -252,6 +252,7 @@ def export_serving_artifact(
         "stage1_s2d": cfg.stage1_s2d,
         "s2d_merged": getattr(cfg, "s2d_merged", False),
         "fused_stem": getattr(cfg, "fused_stem", False),
+        "merged_head": getattr(cfg, "merged_head", False),
         "quantized": "quant" in v,
         "conf_threshold": conf_threshold,
         "iou_threshold": iou_threshold,
