@@ -8,12 +8,16 @@ K=1024) — as ONE jitted XLA program on the TPU.
 DEFAULT mode (what the driver runs) measures TWO engines and stays
 inside a wall-clock budget (UNINA_BENCH_BUDGET_S, default 540 s):
 
-  int8_s2dm_fs  the DEFAULT-EXPORT engine (export --int8 --s2d-merged
-                --fused-stem): int8 MXU chain, column-merged
-                space-to-depth view, stem+stage1 as one fused Pallas
-                VMEM pass (ops/pallas/stem_kernel.py). HEADLINE.
-  bf16_s2dm     the bf16 comparator on the same merged view — the
-                int8-vs-bf16 A/B lives in every run.
+  int8_s2dm_fs_mh  the DEFAULT-EXPORT engine (export --int8
+                --s2d-merged --fused-stem --merged-head): int8 MXU
+                chain, column-merged space-to-depth view, stem+stage1
+                as one fused Pallas VMEM pass (stem_kernel.py), and
+                the float head levels' cls/reg branches merged into
+                full-MXU-lane convs (models/head.py _merged; r5 A/B
+                artifacts/merged_head_ab.json: 0.468 vs 0.791 ms,
+                significant). HEADLINE.
+  bf16_s2dm_mh  the bf16 comparator on the same merged view + merged
+                head — the int8-vs-bf16 A/B lives in every run.
 
 UNINA_BENCH_FULL=1 restores the full 8-engine sweep (bf16_folded,
 bf16_s2dh, int8_fused, int8_s2dh, int8_s2dm, bf16_s2dm_fs, + the two
@@ -94,9 +98,9 @@ from unina_yolo_dla_tpu.runtime.pipeline import build_serving_fn
 BASELINE_MS = 15.0
 LOOP_LENGTHS = (100, 300, 500, 700)
 # The engine the committed default export ships (export --int8
-# --s2d-merged --fused-stem): the headline reports the product, not the
-# session's (possibly noise-favoured) fastest row.
-HEADLINE_ENGINE = "int8_s2dm_fs"
+# --s2d-merged --fused-stem --merged-head): the headline reports the
+# product, not the session's (possibly noise-favoured) fastest row.
+HEADLINE_ENGINE = "int8_s2dm_fs_mh"
 FULL = bool(os.environ.get("UNINA_BENCH_FULL"))
 N_ROUNDS = 5 if FULL else 3
 # UNINA_BENCH_SMOKE=1: tiny config / short loops so the full bench code
@@ -139,7 +143,9 @@ ENGINE_NOTES = """full-sweep engine glossary:
   *_s2dm       column-MERGED engines: same host bytes viewed
                (S/2,S/4,24), stem matmul emits merged columns, stage1
                is one fused Pallas VMEM pass (stage1_kernel.py)
-  *_s2dm_fs    + stem itself fused into that Pallas pass (DEFAULT)
+  *_s2dm_fs    + stem itself fused into that Pallas pass
+  *_mh         + float head levels' cls/reg branches merged into
+               full-MXU-lane convs (models/head.py _merged; DEFAULT)
   *_fc         retired fused-subgraph engines (UNINA_BENCH_FC=1)
   pallas_bf16  retired Pallas decode/NMS (UNINA_BENCH_PALLAS_OPS=1)"""
 
@@ -475,18 +481,29 @@ def build_engines(cfg, variables, frame, rng) -> dict:
     # ms/batch, b1 0.710 -> 0.689 ms on-chip), graph-exact.
     s2dm_fs_cfg = dataclasses.replace(s2dm_cfg, fused_stem=True)
     s2dm_fs_int8_cfg = dataclasses.replace(s2dm_int8_cfg, fused_stem=True)
+    # merged-head twins (the r5 default export; models/head.py _merged)
+    s2dm_mh_cfg = dataclasses.replace(s2dm_cfg, merged_head=True)
+    s2dm_fs_mh_int8_cfg = dataclasses.replace(s2dm_fs_int8_cfg,
+                                              merged_head=True)
 
     # order matters: the budget guard keeps a PREFIX of this dict, so the
     # headline engine compiles first, its comparator second
     engines = {
-        "int8_s2dm_fs": (build_serving_fn(UninaYoloDla(s2dm_fs_int8_cfg),
-                                          s2dm_fs_int8_cfg),
-                         s2dm_int8_vars, frame_s2dm),
-        "bf16_s2dm": (build_serving_fn(UninaYoloDla(s2dm_cfg), s2dm_cfg),
-                      s2dm_bf16_vars, frame_s2dm),
+        "int8_s2dm_fs_mh": (build_serving_fn(
+            UninaYoloDla(s2dm_fs_mh_int8_cfg), s2dm_fs_mh_int8_cfg),
+            s2dm_int8_vars, frame_s2dm),
+        "bf16_s2dm_mh": (build_serving_fn(UninaYoloDla(s2dm_mh_cfg),
+                                          s2dm_mh_cfg),
+                         s2dm_bf16_vars, frame_s2dm),
     }
     if FULL or SMOKE:
         engines.update({
+            "int8_s2dm_fs": (build_serving_fn(
+                UninaYoloDla(s2dm_fs_int8_cfg), s2dm_fs_int8_cfg),
+                s2dm_int8_vars, frame_s2dm),
+            "bf16_s2dm": (build_serving_fn(UninaYoloDla(s2dm_cfg),
+                                           s2dm_cfg),
+                          s2dm_bf16_vars, frame_s2dm),
             "int8_s2dm": (build_serving_fn(UninaYoloDla(s2dm_int8_cfg),
                                            s2dm_int8_cfg),
                           s2dm_int8_vars, frame_s2dm),
@@ -628,7 +645,8 @@ def main() -> None:
         return {"delta_ms": round(d, 3), "faster": a if d < 0 else b,
                 "significant": bool(sep)}
 
-    flush(ab={"fs_vs_bf16_s2dm": pair_ab("int8_s2dm_fs", "bf16_s2dm"),
+    flush(ab={"mh_vs_bf16_mh": pair_ab("int8_s2dm_fs_mh", "bf16_s2dm_mh"),
+              "mh_vs_fs_int8": pair_ab("int8_s2dm_fs_mh", "int8_s2dm_fs"),
               "int8_vs_bf16": pair_ab("int8_fused", "bf16_folded"),
               "int8_vs_bf16_s2dh": pair_ab("int8_s2dh", "bf16_s2dh"),
               "s2dh_vs_std_stem": pair_ab("bf16_s2dh", "bf16_folded"),
