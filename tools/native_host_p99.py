@@ -34,8 +34,13 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 MAX_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-FPS = 250  # producer rate: fast enough that the host, not the
-           # producer, is the bottleneck (the host drains the ring)
+# Producer rate: must sit just ABOVE the host's drain rate so the host
+# is always busy but the producer's frame budget outlasts the run. The
+# first attempt used 250 fps: through the relay the host drains at
+# ~25 fps, so the 12k-frame budget burned in 48 s and only 77 frames
+# were processed before end-of-stream. 30 fps keeps the ring non-empty
+# (measured drain ~25 fps) for 3000+ processed frames.
+FPS = int(sys.argv[2]) if len(sys.argv) > 2 else 30
 B = REPO / "unina_yolo_dla_tpu" / "runtime" / "native" / "build"
 ARTIFACT = REPO / "artifacts" / "serving_artifact"
 RING = "/dev/shm/unina_p99_frames"
@@ -54,6 +59,16 @@ def measure_null_floor(n: int = 60) -> dict:
     The median is the per-dispatch cost the tunnel imposes on ANY
     executor; salted args defeat relay memoization (bench.py lesson)."""
     import jax
+
+    # persistent compile cache (bench.py's): without it the remote
+    # compile of even this trivial program costs ~10 min/run via relay
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -77,7 +92,7 @@ def measure_null_floor(n: int = 60) -> dict:
 
 def main() -> None:
     # enough producer frames to outlast configure (allow 5 min) + run
-    total_frames = MAX_FRAMES + 5 * 60 * 30
+    total_frames = MAX_FRAMES + 5 * 60 * FPS
     producer = subprocess.Popen(
         [str(B / "ring_tool"), "produce", "--ring", RING,
          "--width", "640", "--height", "640",
@@ -110,6 +125,10 @@ def main() -> None:
         "p50_ms": p50, "p90_ms": p90, "p99_ms": p99, "fps": fps,
         "jitter_p99_minus_p50_ms": round(p99 - p50, 3),
         "pipeline_depth": int(m.group(9)),
+        # producer pacing: BELOW the host drain rate = per-frame latency
+        # (ring never queues); above = saturated-throughput mode whose
+        # percentiles include ring wait (see native_host_saturated_r5)
+        "producer_fps": FPS,
         "wall_s": round(wall, 1),
         "relay_null_floor": floor,
         "derived_on_chip_p50_ms": round(p50 - floor["p50_ms"], 2),
