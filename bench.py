@@ -287,7 +287,10 @@ def measure_batch8_artifact(model, variables, cfg, tmpdir) -> dict | None:
 
     committed = _REPO / "artifacts" / "serving_artifact_b8"
     try:
-        if committed.exists():
+        # SMOKE must NOT load the committed 640^2 artifact: at smoke
+        # scale the rest of the run is tiny, and serving the full-size
+        # b8 engine on the CPU backend takes tens of minutes
+        if committed.exists() and not SMOKE:
             art, source = ServingArtifact(committed), "committed"
         else:
             out = Path(tmpdir) / "b8_artifact"
