@@ -26,7 +26,8 @@ main([
     "--data", "$WORK/synth/fsd_synth.yaml",
     "--epochs", "2", "--qat-epochs", "1",
     "--batch", "4", "--imgsz", "$IMGSZ", "--base-channels", "16",
-    "--calib-batches", "2", "--calib-method", "entropy",
+    "--calib-batches", "2", "--calib-min-images", "0",
+    "--calib-method", "entropy",
     "--calibrate-cp", "--export",
     "--output-dir", "$WORK/runs", "--max-boxes", "32",
 ])
